@@ -1,0 +1,39 @@
+"""parallel_ddp_tpu — a TPU-native parallel DDP/iLQR trajectory-optimization and MPC framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of plancherb1/parallel-DDP
+(WAFR 2018 / ICRA 2019): parallel iLQR with a block-parallel backward pass, multiple-shooting
+forward pass with defect handling, batched parallel line search, warm-started real-time MPC,
+analytic plants (pendulum, cart-pole, quadrotor) and the Kuka iiwa-14 arm with full rigid-body
+dynamics and analytic gradients, Euler/Midpoint/RK3 integrators, and joint-space /
+end-effector-pose cost families.
+
+Design stance (TPU-first, not a port):
+  * the whole solver iteration runs inside one `jit` with `lax.while_loop` outer iterations —
+    no host round-trips (the reference's per-phase kernel launches + host line-search scan,
+    DDPWrappers.cuh:52-114, become a single compiled program);
+  * line-search alphas, shooting blocks and backward-pass blocks are `vmap` axes (the
+    reference's CUDA grid dims, fpHelpers.cuh:366, bpHelpers.cuh:492);
+  * the forward "sweep" linear recurrence is a `lax.associative_scan` (log-depth in the
+    horizon instead of the reference's serial loop, fpHelpers.cuh:17-53);
+  * scenario batching scales over a `jax.sharding.Mesh` via shard_map/psum instead of
+    LCM pub/sub (LCMHelpers.cuh).
+"""
+
+from parallel_ddp_tpu.config import (
+    SolverConfig,
+    CostWeights,
+    SolveOutput,
+)
+from parallel_ddp_tpu.models.base import Plant
+from parallel_ddp_tpu.solver import ilqr_solve, make_ilqr_solver
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SolverConfig",
+    "CostWeights",
+    "SolveOutput",
+    "Plant",
+    "ilqr_solve",
+    "make_ilqr_solver",
+]

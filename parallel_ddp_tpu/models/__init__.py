@@ -1,0 +1,6 @@
+from parallel_ddp_tpu.models.base import Plant
+from parallel_ddp_tpu.models.pendulum import pendulum
+from parallel_ddp_tpu.models.cartpole import cartpole
+from parallel_ddp_tpu.models.quadrotor import quadrotor
+
+__all__ = ["Plant", "pendulum", "cartpole", "quadrotor"]

@@ -1,0 +1,221 @@
+"""Block-parallel backward pass (bpHelpers.cuh).
+
+The horizon is split into `m_blocks_b` time blocks swept *in parallel* (a stale-
+information / iterated-consensus Riccati: non-final blocks seed their boundary
+cost-to-go from the PREVIOUS iteration's values Pp/pp — the reference's
+FORCE_PARALLEL semantics, bpHelpers.cuh:356-420, config.cuh:95).  Each block is a
+serial `lax.scan` back in time; blocks are a `vmap` axis (the reference's
+`backPassKern<<<M_BLOCKS_B, (8,7)>>>`).
+
+Per step (bpHelpers.cuh:37-334), with V_{k+1} = (P, p) the cost-to-go quadratic:
+  p~   = p + P @ d_k                      on multiple-shooting defect boundaries
+  Hxx += A'PA    Hxu += A'PB              (P unregularized)
+  Hux += B'P+A   Huu += B'P+B             (P+ = P + rho*I; Tassa STATE_REG — the
+                                           asymmetry is deliberate, bpHelpers.cuh:54-66)
+  K = Huu^-1 Hux    du = Huu^-1 gu        (via Cholesky; PD failure -> rho retry)
+  P' = Hxx + K'HuuK - HxuK - K'Hux        (bpHelpers.cuh:222-276)
+  p' = gx + K'Huu du - Hxu du - K'gu
+  ApBK = A - BK     Bdu = B du            (forward-sweep vars, bpHelpers.cuh:278-312)
+  dJexp += (du . gu, du . Huu du)         (bpHelpers.cuh:314-334)
+
+The reference inverts Huu by Gauss-Jordan/adjugate (bpHelpers.cuh:96-204) and
+flags non-PD failures; here Huu is factorized by Cholesky — NaN in the factor is
+the PD test — and failure triggers the same rho-increase retry
+(backwardPassGPU, bpHelpers.cuh:483-517) in an outer `lax.while_loop`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from parallel_ddp_tpu.config import SolverConfig
+
+
+class BackwardPassResult(NamedTuple):
+    P: jnp.ndarray      # (N, n, n) cost-to-go Hessian at each step
+    p: jnp.ndarray      # (N, n) cost-to-go gradient
+    K: jnp.ndarray      # (N, m, n) feedback gains (row N-1 zero)
+    du: jnp.ndarray     # (N, m) feedforward steps (row N-1 zero)
+    ApBK: jnp.ndarray   # (N, n, n) A - B@K
+    Bdu: jnp.ndarray    # (N, n) B@du
+    dJexp: jnp.ndarray  # (2,) expected-reduction terms (sum du.gu, sum du.Huu.du)
+    fail: jnp.ndarray   # bool: any Huu factorization failed
+    rho: jnp.ndarray    # regularizer after retries
+    drho: jnp.ndarray
+
+
+def backward_pass(
+    cfg: SolverConfig,
+    AB: jnp.ndarray,    # (N-1, n, n+m)
+    H: jnp.ndarray,     # (N, n+m, n+m)
+    g: jnp.ndarray,     # (N, n+m)
+    Pp: jnp.ndarray,    # (N, n, n) previous-iteration CTG (block boundary seeds)
+    pp: jnp.ndarray,    # (N, n)
+    d: jnp.ndarray,     # (N, n) defects
+    x: jnp.ndarray,     # (N, n) current trajectory
+    xp2: jnp.ndarray,   # (N, n) trajectory at which Pp/pp were computed
+    rho0: jnp.ndarray,
+    drho0: jnp.ndarray,
+) -> BackwardPassResult:
+    """Full backward pass with the rho-retry loop (backwardPassGPU, bpHelpers.cuh:483-517)."""
+    N = cfg.num_time_steps
+    Mb = cfg.m_blocks_b
+    Nb = cfg.n_blocks_b
+    n = x.shape[-1]
+    m = AB.shape[-1] - n
+    dtype = x.dtype
+    nf = N - 1
+    n_blocks_f = cfg.n_blocks_f
+    eye_n = jnp.eye(n, dtype=dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    # pad AB with a zero row at k = N-1 so every block has Nb uniform steps
+    AB_pad = jnp.concatenate([AB, jnp.zeros((1, n, n + m), dtype)], axis=0)
+
+    def step(rho, carry, inputs):
+        P, p = carry
+        ab, Hk, gk, dk, k = inputs
+        is_terminal = k == nf
+
+        A = ab[:, :n]
+        B = ab[:, n:]
+
+        # defect coupling on shooting boundaries (bpHelpers.cuh:67-81)
+        on_defect = jnp.logical_and((k + 1) % n_blocks_f == 0, k < nf)
+        use_d = jnp.logical_and(cfg.m_blocks_f > 1, on_defect)
+        p_t = p + jnp.where(use_d, P @ dk, jnp.zeros_like(p))
+
+        if cfg.state_reg:
+            P_reg = P + rho * eye_n
+            PA = P @ A
+            PB = P @ B
+            Hxx = Hk[:n, :n] + A.T @ PA
+            Hxu = Hk[:n, n:] + A.T @ PB
+            Hux = Hk[n:, :n] + B.T @ (P_reg @ A)
+            Huu = Hk[n:, n:] + B.T @ (P_reg @ B)
+        else:
+            PA = P @ A
+            PB = P @ B
+            Hxx = Hk[:n, :n] + A.T @ PA
+            Hxu = Hk[:n, n:] + A.T @ PB
+            Hux = Hk[n:, :n] + B.T @ PA
+            Huu = Hk[n:, n:] + B.T @ PB + rho * eye_m
+        gx = gk[:n] + A.T @ p_t
+        gu = gk[n:] + B.T @ p_t
+
+        # PD test + solve via Cholesky (the reference's Gauss-Jordan + pivot test,
+        # bpHelpers.cuh:96-204; README.md:40 wishlists the square-root form)
+        Huu_safe = Huu + jnp.where(is_terminal, 1.0, 0.0) * eye_m
+        chol = jnp.linalg.cholesky(Huu_safe)
+        fail_k = jnp.logical_and(~jnp.all(jnp.isfinite(chol)), ~is_terminal)
+        chol_safe = jnp.where(jnp.all(jnp.isfinite(chol)), chol, eye_m)
+        Kk = jax.scipy.linalg.cho_solve((chol_safe, True), Hux)
+        duk = jax.scipy.linalg.cho_solve((chol_safe, True), gu)
+
+        if cfg.state_reg:
+            KtHuu = Kk.T @ Huu
+            P_new = Hxx + KtHuu @ Kk - Hxu @ Kk - Kk.T @ Hux
+            p_new = gx + KtHuu @ duk - Hxu @ duk - Kk.T @ gu
+        else:
+            P_new = Hxx - Hxu @ Kk
+            p_new = gx - Hxu @ duk
+
+        ApBKk = A - B @ Kk
+        Bduk = B @ duk
+
+        # terminal "step" (k == N-1, final block only): emit the seed untouched
+        zero_K = jnp.zeros_like(Kk)
+        zero_du = jnp.zeros_like(duk)
+        Kk = jnp.where(is_terminal, zero_K, Kk)
+        duk = jnp.where(is_terminal, zero_du, duk)
+        P_out = jnp.where(is_terminal, P, P_new)
+        p_out = jnp.where(is_terminal, p, p_new)
+        ApBKk = jnp.where(is_terminal, jnp.zeros_like(ApBKk), ApBKk)
+        Bduk = jnp.where(is_terminal, jnp.zeros_like(Bduk), Bduk)
+        dj = jnp.where(
+            is_terminal,
+            jnp.zeros((2,), dtype),
+            jnp.stack([duk @ gu, duk @ (Huu @ duk)]),
+        )
+
+        # V emitted at index k is the CTG at step k; carry V for step k-1
+        return (P_out, p_out), (P_out, p_out, Kk, duk, ApBKk, Bduk, dj, fail_k)
+
+    def run_block(rho, seed_P, seed_p, ab_b, H_b, g_b, d_b, k_b):
+        """Serial sweep of one block, k descending."""
+        # scan over reversed step order
+        xs = (ab_b[::-1], H_b[::-1], g_b[::-1], d_b[::-1], k_b[::-1])
+        (_, _), outs = lax.scan(
+            lambda c, i: step(rho, c, i), (seed_P, seed_p), xs
+        )
+        # un-reverse to ascending k
+        return jax.tree_util.tree_map(lambda a: a[::-1], outs)
+
+    # block seeds
+    ks_last = (jnp.arange(Mb) + 1) * Nb - 1          # last step index of each block
+    seed_idx = jnp.minimum(ks_last + 1, nf)          # CTG index seeding the block
+
+    def make_seed(b):
+        s = seed_idx[b]
+        is_final = b == Mb - 1
+        # final block: terminal expansion V[N-1] = (Hxx, gx) (bpHelpers.cuh:361-367)
+        P_term = H[nf, :n, :n]
+        p_term = g[nf, :n]
+        # other blocks: previous-iteration CTG at the boundary, optionally
+        # transported through the state change (linearXfrmOrLoad, bpHelpers.cuh:16-34)
+        P_seed = Pp[s]
+        p_seed = pp[s]
+        if cfg.linear_transform_switch:
+            dx = x[s] - xp2[s]
+            p_seed = p_seed + P_seed @ dx
+        P0 = jnp.where(is_final, P_term, P_seed)
+        p0 = jnp.where(is_final, p_term, p_seed)
+        return P0, p0
+
+    seeds_P, seeds_p = jax.vmap(make_seed)(jnp.arange(Mb))
+
+    # reshape per-step arrays into (Mb, Nb, ...)
+    AB_blk = AB_pad.reshape(Mb, Nb, n, n + m)
+    H_blk = H.reshape(Mb, Nb, n + m, n + m)
+    g_blk = g.reshape(Mb, Nb, n + m)
+    d_blk = d.reshape(Mb, Nb, n)
+    k_blk = jnp.arange(N).reshape(Mb, Nb)
+
+    def attempt(rho):
+        outs = jax.vmap(run_block, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+            rho, seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk
+        )
+        P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o = outs
+        flat = lambda a: a.reshape((N,) + a.shape[2:])
+        return (
+            flat(P_o),
+            flat(p_o),
+            flat(K_o),
+            flat(du_o),
+            flat(ApBK_o),
+            flat(Bdu_o),
+            jnp.sum(dj_o, axis=(0, 1)),
+            jnp.any(fail_o),
+        )
+
+    # rho-retry loop (backwardPassGPU, bpHelpers.cuh:489-515) with a safety cap
+    def retry_cond(state):
+        _, fail, rho, drho, tries = state
+        return jnp.logical_and(fail, tries < cfg.max_bp_retries)
+
+    def retry_body(state):
+        _, _, rho, drho, tries = state
+        drho = jnp.maximum(drho * cfg.rho_factor, cfg.rho_factor)
+        rho = jnp.minimum(rho * drho, cfg.rho_max)
+        out = attempt(rho)
+        return (out[:7], out[7], rho, drho, tries + 1)
+
+    first = attempt(rho0)
+    init = (first[:7], first[7], rho0, drho0, jnp.asarray(0))
+    (res, fail, rho, drho, _) = lax.while_loop(retry_cond, retry_body, init)
+    P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dJexp = res
+    return BackwardPassResult(P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dJexp, fail, rho, drho)
