@@ -1,0 +1,139 @@
+"""WAFR figure-8 closed-loop MPC benchmark (test/WAFR_fig8.py baseline numbers).
+
+Reproduces the reference experiment (examples/LCM_fig8_examples.cu): a Kuka
+iiwa-14 tracks a 10 s figure-8 EE path under warm-started receding-horizon
+iLQR (N=64, 0.5 s horizon, M=4, 16 alphas, EE cost, gravity-compensated
+plant).  Metrics:
+  * avg EE tracking error over the figure-8 (baseline 0.0878 m, WAFR_fig8.py:5-6)
+  * solve wall time (baseline median 10.29 ms, WAFR_fig8.py:7)
+
+Phases, like the reference goal handler (LCM_fig8_examples.cu:140-190):
+  1. settle: drive to the fig-8 start until eNorm < 0.05 and |qd| < 0.05;
+  2. track: error accumulates while the goal moves along the exact 200-point
+     reference path.
+
+Run: python benchmarks/fig8.py [--duration 10] [--control-period 0.01]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=10.0, help="fig8 period (s)")
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--control-period", type=float, default=0.01)
+    ap.add_argument("--sim-rate", type=float, default=1000.0)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--settle-time", type=float, default=4.0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from parallel_ddp_tpu.config import CostWeights
+    from parallel_ddp_tpu.mpc.driver import MPCConfig, MPCController
+    from parallel_ddp_tpu.mpc.simulator import PlantSimulator
+    from parallel_ddp_tpu.mpc.controls import TrajHandoff, get_hardware_controls
+    from parallel_ddp_tpu.presets import fig8_weights, figure8_goal, kuka_ee
+
+    prob = kuka_ee(mpc_mode=True)
+    ctrl = MPCController(
+        prob.plant, prob.cost, prob.cfg, MPCConfig(max_iters_per_solve=args.iters)
+    )
+    sim = PlantSimulator(prob.plant, rate_hz=args.sim_rate, integrator=1)
+    ee_pos = jax.jit(prob.plant.ee_pos)
+
+    x_init = np.zeros(14, np.float32)
+    x_init[1], x_init[3], x_init[5] = np.pi / 4, -np.pi / 4, np.pi / 4  # workspace center
+    x_target = jnp.asarray(x_init)
+
+    w_settle = fig8_weights()._replace(r_ee=0.001)
+    w_track = fig8_weights()
+
+    def goal_pytree(xyz):
+        return {
+            "ee_goal": jnp.concatenate(
+                [jnp.asarray(xyz, jnp.float32), jnp.zeros(3, jnp.float32)]
+            ),
+            "x_target": x_target,
+        }
+
+    start_xyz, _ = figure8_goal(0.0, args.duration)
+
+    x = x_init.copy()
+    t = 0.0
+    st = ctrl.init_state(x, t0=0.0, goal=goal_pytree(start_xyz), weights=w_settle)
+
+    steps_per_solve = max(1, int(round(args.control_period * args.sim_rate)))
+
+    def control_loop(st, x, t, weights, goal_xyz):
+        t0 = time.perf_counter()
+        st, info = ctrl.step(st, x, t, goal_pytree(goal_xyz), weights)
+        jax.block_until_ready(st.x)
+        wall = time.perf_counter() - t0
+        traj = TrajHandoff(np.asarray(st.x), np.asarray(st.u), np.asarray(st.K),
+                           float(st.t0), ctrl.cfg.dt)
+        for _ in range(steps_per_solve):
+            u, ok = get_hardware_controls(traj, t, x)
+            if not ok:
+                u = np.zeros(7, np.float32)
+            x = sim.step(x, u)
+            t += sim.dt
+        return st, x, t, wall, bool(info.accepted)
+
+    # ---- phase 1: settle at the fig-8 start ----
+    settle_deadline = args.settle_time
+    while t < settle_deadline:
+        st, x, t, _, _ = control_loop(st, x, t, w_settle, start_xyz)
+        ee = np.asarray(ee_pos(jnp.asarray(x[:7])))[:3]
+        e_norm = np.linalg.norm(ee - start_xyz)
+        v_norm = np.linalg.norm(x[7:])
+        if e_norm < 0.05 and v_norm < 0.05:
+            break
+    ee = np.asarray(ee_pos(jnp.asarray(x[:7])))[:3]
+    print(f"settled at t={t:.2f}s eNorm={np.linalg.norm(ee - start_xyz):.4f}",
+          file=sys.stderr)
+
+    # ---- phase 2: track the moving figure-8 ----
+    t_zero = t
+    errors, walls, accepts = [], [], []
+    total = args.duration * args.reps
+    while t - t_zero < total:
+        tau = t - t_zero
+        goal_xyz, _ = figure8_goal(tau, args.duration)
+        st, x, t, wall, acc = control_loop(st, x, t, w_track, goal_xyz)
+        walls.append(wall)
+        accepts.append(acc)
+        # error at the *end* of this control period against the goal there
+        tau2 = t - t_zero
+        g2, _ = figure8_goal(tau2, args.duration)
+        ee = np.asarray(ee_pos(jnp.asarray(x[:7])))[:3]
+        errors.append(np.linalg.norm(ee - g2))
+
+    avg_err = float(np.mean(errors))
+    med_solve_ms = float(np.median(walls) * 1000)
+    result = {
+        "metric": "kuka_fig8_avg_ee_tracking_error",
+        "value": round(avg_err, 4),
+        "unit": "m (10s fig8, N=64, M=4, 16 alphas, %d iters/solve)" % args.iters,
+        "vs_baseline": round(0.0878 / max(avg_err, 1e-9), 3),
+        "extra": {
+            "median_solve_ms": round(med_solve_ms, 2),
+            "baseline_solve_ms": 10.29,
+            "accept_rate": round(float(np.mean(accepts)), 3),
+            "max_err_m": round(float(np.max(errors)), 4),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

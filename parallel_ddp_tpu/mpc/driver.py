@@ -1,0 +1,202 @@
+"""Warm-started receding-horizon MPC driver (MPCHelpers.cuh).
+
+Device-resident solver state (x, u, K, P, p, d) persists across solves — the
+reference's GPUVars warm start.  Each control step:
+
+  1. shift: roll every trajectory array left by the elapsed plant time
+     (zero-order-hold the tail) — shiftAndCopy (MPCHelpers.cuh:425-471);
+  2. re-rollout: overwrite the first shooting interval (or the full horizon)
+     by open-loop simulation from the *measured* state xActual —
+     rolloutMPC (MPCHelpers.cuh:523-563, FULL_ROLLOUT switch);
+  3. solve: a fixed-iteration-budget iLQR solve warm-started from the shifted
+     state.  The reference enforces a wall-clock budget with host checks
+     between phases (USE_MAX_SOLVER_TIME, MPCHelpers.cuh:916-1001); on TPU the
+     budget is a fixed `max_iter` chosen from the measured per-iteration
+     latency, keeping the whole solve in one compiled program;
+  4. accept: on a failed solve (no iteration accepted) keep executing the
+     shifted stale plan; after `solves_to_reset` consecutive failures zero
+     u/K/P/p for a cold restart (MPCHelpers.cuh:752-774, 610, 668).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parallel_ddp_tpu.config import CostWeights, SolverConfig
+from parallel_ddp_tpu.costs.base import CostModel
+from parallel_ddp_tpu.models.base import Plant
+from parallel_ddp_tpu.ops.integrators import make_step
+from parallel_ddp_tpu.solver import make_ilqr_solver, open_loop_rollout
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """MPC options (config.cuh MPC group + MPCHelpers constants)."""
+
+    max_iters_per_solve: int = 6      # the 10 ms budget analog
+    full_rollout: bool = False        # FULL_ROLLOUT: re-sim whole horizon vs first block
+    solves_to_reset: int = 10         # SOLVES_TO_RESET (MPCHelpers.cuh:610)
+    max_shift_steps: Optional[int] = None  # clamp on warm-start shift
+    # online solves must ENFORCE the defect bound; only the offline warm-up
+    # ignores it (the reference passes ignoreFirstDefectFlag=0 per solve,
+    # LCMHelpers.cuh:242 — accepting large-defect candidates online publishes
+    # dynamically infeasible trajectories and destabilizes the loop)
+    ignore_defect_online: bool = False
+
+
+class MPCState(NamedTuple):
+    x: jnp.ndarray
+    u: jnp.ndarray
+    K: jnp.ndarray
+    P: jnp.ndarray
+    p: jnp.ndarray
+    d: jnp.ndarray
+    t0: jnp.ndarray      # plant time of x[0] (seconds)
+    fails: jnp.ndarray   # consecutive failed solves
+
+
+class MPCStepInfo(NamedTuple):
+    J: jnp.ndarray
+    iters: jnp.ndarray
+    accepted: jnp.ndarray
+    shift_steps: jnp.ndarray
+    max_defect: jnp.ndarray
+
+
+def _shift(a: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """a[k] <- a[min(k+s, N-1)] (ZOH tail fill, shiftAndCopy semantics)."""
+    n = a.shape[0]
+    idx = jnp.minimum(jnp.arange(n) + s, n - 1)
+    return jnp.take(a, idx, axis=0)
+
+
+class MPCController:
+    """Builds the jitted MPC step for a (plant, cost, solver config) triple."""
+
+    def __init__(
+        self,
+        plant: Plant,
+        cost: CostModel,
+        cfg: SolverConfig,
+        mpc_cfg: MPCConfig = MPCConfig(),
+    ):
+        self.plant = plant
+        self.cost = cost
+        self.cfg = cfg
+        self.mpc = mpc_cfg
+        solver_cfg = dataclasses.replace(
+            cfg, max_iter=mpc_cfg.max_iters_per_solve
+        )
+        self._solver = make_ilqr_solver(plant, cost, solver_cfg)
+        self._step_fn = make_step(plant, cfg.integrator, cfg.dt)
+        self._jit_step = jax.jit(self._mpc_step)
+
+    def init_state(self, x_actual, t0: float = 0.0, goal=None,
+                   weights: Optional[CostWeights] = None,
+                   warmup_iters: int = 50) -> MPCState:
+        """Cold-start: full-convergence solve from the measured state (the
+        reference's warm-start solve with infinite budget,
+        LCM_fig8_examples.cu:261-262)."""
+        n_steps = self.cfg.num_time_steps
+        x0 = jnp.tile(jnp.asarray(x_actual, jnp.float32)[None], (n_steps, 1))
+        u0 = jnp.zeros((n_steps, self.plant.n_ctrl), jnp.float32)
+        warm_cfg = dataclasses.replace(self.cfg, max_iter=warmup_iters)
+        solver = make_ilqr_solver(self.plant, self.cost, warm_cfg)
+        out = solver(x0, u0, goal, weights, initial_rollout=True)
+        return MPCState(
+            x=out.x, u=out.u, K=out.K, P=out.P, p=out.p, d=out.d,
+            t0=jnp.asarray(t0, jnp.float32), fails=jnp.asarray(0, jnp.int32),
+        )
+
+    def _warm_start(self, st: MPCState, x_actual, s):
+        x = _shift(st.x, s)
+        u = _shift(st.u, s)
+        k_mat = _shift(st.K, s)
+        p_mat = _shift(st.P, s)
+        p_vec = _shift(st.p, s)
+        d = _shift(st.d, s)
+
+        # re-rollout from the measured state with the shifted open-loop
+        # controls (rolloutMPC, MPCHelpers.cuh:523-563)
+        n_roll = (
+            self.cfg.num_time_steps if self.mpc.full_rollout else self.cfg.n_blocks_f
+        )
+
+        def body(x_cur, u_k):
+            x_next = self._step_fn(x_cur, u_k)
+            return x_next, x_next
+
+        _, x_sim = jax.lax.scan(body, x_actual, u[: n_roll - 1])
+        x = x.at[0].set(x_actual).at[1:n_roll].set(x_sim)
+        return x, u, k_mat, p_mat, p_vec, d
+
+    def _mpc_step(self, st: MPCState, x_actual, t_now, goal, weights):
+        dt = self.cfg.dt
+        s_f = (t_now - st.t0) / dt
+        s = jnp.floor(s_f).astype(jnp.int32)  # MPCHelpers.cuh:875
+        s = jnp.clip(s, 0, self.cfg.num_time_steps - 1)
+        if self.mpc.max_shift_steps is not None:
+            s = jnp.minimum(s, self.mpc.max_shift_steps)
+        t0_new = st.t0 + s.astype(jnp.float32) * dt
+
+        x_w, u_w, k_w, pm_w, pv_w, d_w = self._warm_start(st, x_actual, s)
+
+        out = self._solver(
+            x_w, u_w, goal, weights,
+            P0=pm_w, p0=pv_w, d0=d_w,
+            initial_rollout=False,
+            ignore_first_defect=self.mpc.ignore_defect_online,
+        )
+        accepted = jnp.any(out.alpha_trace[1:] >= 0)
+
+        # failure handling (storeVarsGPU_MPC, MPCHelpers.cuh:752-774)
+        def pick(new, old):
+            return jnp.where(accepted, new, old)
+
+        fails = jnp.where(accepted, 0, st.fails + 1).astype(jnp.int32)
+        reset = fails >= self.mpc.solves_to_reset
+        fails = jnp.where(reset, 0, fails)
+
+        x_n = pick(out.x, x_w)
+        u_n = jnp.where(reset, jnp.zeros_like(u_w), pick(out.u, u_w))
+        k_n = jnp.where(reset, jnp.zeros_like(k_w), pick(out.K, k_w))
+        pm_n = jnp.where(reset, jnp.zeros_like(pm_w), pick(out.P, pm_w))
+        pv_n = jnp.where(reset, jnp.zeros_like(pv_w), pick(out.p, pv_w))
+        d_n = pick(out.d, d_w)
+
+        new_state = MPCState(
+            x=x_n, u=u_n, K=k_n, P=pm_n, p=pv_n, d=d_n, t0=t0_new, fails=fails
+        )
+        info = MPCStepInfo(
+            J=out.J, iters=out.iters, accepted=accepted,
+            shift_steps=s, max_defect=out.max_defect,
+        )
+        return new_state, info
+
+    def warmup(self, st: MPCState, goal, weights: Optional[CostWeights] = None):
+        """Force-compile the MPC step before entering a real-time loop (a live
+        loop that compiles on its first solve runs the plant open-loop for the
+        whole compile time)."""
+        w = weights if weights is not None else CostWeights()
+        out = self._jit_step(
+            st, st.x[0], st.t0, goal, w
+        )
+        jax.block_until_ready(out[0].x)
+
+    def step(self, st: MPCState, x_actual, t_now, goal,
+             weights: Optional[CostWeights] = None):
+        """One MPC re-solve: shift + warm start + budgeted solve.
+
+        x_actual: measured state; t_now: plant clock (s); goal/weights may
+        change every call without recompiling (runtime goal and cost updates —
+        the reference's GOAL/COST_PARAMS channels, LCMHelpers.cuh:204-214)."""
+        w = weights if weights is not None else CostWeights()
+        return self._jit_step(
+            st, jnp.asarray(x_actual, jnp.float32), jnp.asarray(t_now, jnp.float32),
+            goal, w,
+        )

@@ -110,14 +110,43 @@ def ee_goal(xyz, rpy=(0.0, 0.0, 0.0), x_target=None):
     }
 
 
-def figure8_ee_goals(t, total_period=10.0, center=(0.0, -0.55, 0.35),
-                     width=0.4, height=0.24):
-    """Figure-8 EE goal at time(s) t (the WAFR/ICRA hardware task,
-    examples/LCM_fig8_examples.cu — a lemniscate in the y-z plane in front of
-    the arm; dimensions from the papers' ~0.8 m x 0.5 m figure)."""
-    t = np.asarray(t)
-    phase = 2.0 * np.pi * (t / total_period)
-    x = center[0] + width * np.sin(phase)
-    z = center[2] + height * np.sin(2.0 * phase)
-    y = np.full_like(x, center[1])
-    return np.stack([x, y, z], axis=-1)
+_FIG8 = None
+
+
+def _fig8_path():
+    global _FIG8
+    if _FIG8 is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "tasks", "fig8_goals.npz")
+        data = np.load(path)
+        _FIG8 = np.stack([data["x"], data["y"], data["z"]], axis=-1)  # (200, 3)
+    return _FIG8
+
+
+def figure8_goal(t, total_time=10.0):
+    """EE xyz goal on the WAFR/ICRA figure-8 at time t.
+
+    The exact 200-point task path from the reference benchmark
+    (LCM_fig8_examples.cu:102-104; a ~0.6 m x 0.4 m figure-8 in the y-z plane
+    at x = 0.6556), linearly interpolated and wrapped like loadFig8Goal
+    (:114-122).  Returns (goal_xyz (3,), rep)."""
+    pts = _fig8_path()
+    num = pts.shape[0]
+    tstep = total_time / (num - 1)
+    gnum = t / tstep
+    frac = gnum - np.floor(gnum)
+    rep = int(np.floor(gnum)) // num
+    rd = int(np.floor(gnum)) % num
+    ru = int(np.ceil(gnum)) % num
+    return (1 - frac) * pts[rd] + frac * pts[ru], rep
+
+
+def fig8_weights():
+    """The reference's figure-8 tracking weights (LCM_fig8_examples.cu:47-59,
+    hardware variant: Q_EE1 = QF_EE1 = 300, R_EE = 5e-4, Q_xdEE = QF_xdEE = 10,
+    Q_xEE = QF_xEE = 1)."""
+    return CostWeights(
+        q_ee1=300.0, q_ee2=1e-6, qf_ee1=300.0, qf_ee2=1e-6,
+        r_ee=0.0005, q_xdee=10.0, qf_xdee=10.0, q_xee=1.0, qf_xee=1.0,
+    )

@@ -1,0 +1,179 @@
+"""Wire message schemas — the lcmtypes equivalents (lcmtypes/*.lcm).
+
+Simple little-endian numpy packing: [u32 type id][u32 lengths...][payload].
+Schemas mirror the reference's message set:
+  Status      <- lcmt_iiwa_status (q, qd, measured torque, utime)
+  Command     <- lcmt_iiwa_command (torque + reference q)
+  Trajectory  <- lcmt_trajectory_f (t0, x, u, K flattened)
+  Goal        <- lcmt_target_position / lcmt_target_twist (EE pose or joint goal)
+  CostParams  <- lcmt_cost_params (the 18 runtime weights)
+  SolverParams<- lcmt_solver_params (iter/time limits, clearVars, costShift)
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from parallel_ddp_tpu.config import CostWeights
+
+_TYPES = {}
+
+
+def _register(type_id):
+    def deco(cls):
+        cls.TYPE_ID = type_id
+        _TYPES[type_id] = cls
+        return cls
+
+    return deco
+
+
+def _pack_arrays(type_id: int, scalars: bytes, *arrays: np.ndarray) -> bytes:
+    head = struct.pack("<II", type_id, len(scalars)) + scalars
+    head += struct.pack("<I", len(arrays))
+    out = [head]
+    for a in arrays:
+        a = np.ascontiguousarray(a, np.float32)
+        out.append(struct.pack("<I", a.size))
+        out.append(a.tobytes())
+    return b"".join(out)
+
+
+def _unpack_arrays(buf: bytes):
+    type_id, slen = struct.unpack_from("<II", buf, 0)
+    off = 8
+    scalars = buf[off:off + slen]
+    off += slen
+    (n_arr,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    arrays = []
+    for _ in range(n_arr):
+        (sz,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        arrays.append(np.frombuffer(buf, np.float32, sz, off).copy())
+        off += 4 * sz
+    return type_id, scalars, arrays
+
+
+@_register(1)
+@dataclass
+class Status:
+    utime: float
+    q: np.ndarray
+    qd: np.ndarray
+    tau: Optional[np.ndarray] = None
+
+    def pack(self) -> bytes:
+        tau = self.tau if self.tau is not None else np.zeros_like(self.q)
+        return _pack_arrays(1, struct.pack("<d", self.utime), self.q, self.qd, tau)
+
+    @staticmethod
+    def unpack(buf: bytes) -> "Status":
+        _, s, (q, qd, tau) = _unpack_arrays(buf)
+        return Status(struct.unpack("<d", s)[0], q, qd, tau)
+
+    @property
+    def x(self) -> np.ndarray:
+        return np.concatenate([self.q, self.qd])
+
+
+@_register(2)
+@dataclass
+class Command:
+    utime: float
+    tau: np.ndarray
+    q_ref: Optional[np.ndarray] = None
+
+    def pack(self) -> bytes:
+        qr = self.q_ref if self.q_ref is not None else np.zeros_like(self.tau)
+        return _pack_arrays(2, struct.pack("<d", self.utime), self.tau, qr)
+
+    @staticmethod
+    def unpack(buf: bytes) -> "Command":
+        _, s, (tau, qr) = _unpack_arrays(buf)
+        return Command(struct.unpack("<d", s)[0], tau, qr)
+
+
+@_register(3)
+@dataclass
+class Trajectory:
+    t0: float
+    dt: float
+    x: np.ndarray   # (N, n_state)
+    u: np.ndarray   # (N, n_ctrl)
+    K: np.ndarray   # (N, n_ctrl, n_state)
+
+    def pack(self) -> bytes:
+        n, nx = self.x.shape
+        nu = self.u.shape[1]
+        s = struct.pack("<ddIII", self.t0, self.dt, n, nx, nu)
+        return _pack_arrays(3, s, self.x.ravel(), self.u.ravel(), self.K.ravel())
+
+    @staticmethod
+    def unpack(buf: bytes) -> "Trajectory":
+        _, s, (x, u, k) = _unpack_arrays(buf)
+        t0, dt, n, nx, nu = struct.unpack("<ddIII", s)
+        return Trajectory(t0, dt, x.reshape(n, nx), u.reshape(n, nu),
+                          k.reshape(n, nu, nx))
+
+
+@_register(4)
+@dataclass
+class Goal:
+    """EE pose goal (6,) or joint-state goal (n_state,); mode 0 = EE, 1 = joint."""
+
+    mode: int
+    value: np.ndarray
+    x_target: Optional[np.ndarray] = None
+
+    def pack(self) -> bytes:
+        xt = self.x_target if self.x_target is not None else np.zeros(0, np.float32)
+        return _pack_arrays(4, struct.pack("<i", self.mode), self.value, xt)
+
+    @staticmethod
+    def unpack(buf: bytes) -> "Goal":
+        _, s, (v, xt) = _unpack_arrays(buf)
+        return Goal(struct.unpack("<i", s)[0], v, xt if xt.size else None)
+
+
+@_register(5)
+@dataclass
+class CostParams:
+    weights: CostWeights = field(default_factory=CostWeights)
+
+    def pack(self) -> bytes:
+        return _pack_arrays(5, b"", np.asarray(list(self.weights), np.float32))
+
+    @staticmethod
+    def unpack(buf: bytes) -> "CostParams":
+        _, _, (w,) = _unpack_arrays(buf)
+        return CostParams(CostWeights(*[float(v) for v in w]))
+
+
+@_register(6)
+@dataclass
+class SolverParams:
+    iter_limit: int = 6
+    time_limit_ms: float = 10.0
+    clear_vars: bool = False
+    cost_shift: int = 0
+
+    def pack(self) -> bytes:
+        s = struct.pack("<idii", self.iter_limit, self.time_limit_ms,
+                        int(self.clear_vars), self.cost_shift)
+        return _pack_arrays(6, s)
+
+    @staticmethod
+    def unpack(buf: bytes) -> "SolverParams":
+        _, s, _ = _unpack_arrays(buf)
+        it, tl, cv, cs = struct.unpack("<idii", s)
+        return SolverParams(it, tl, bool(cv), cs)
+
+
+def unpack_any(buf: bytes):
+    type_id, _, _ = _unpack_arrays(buf)
+    return _TYPES[type_id].unpack(buf)

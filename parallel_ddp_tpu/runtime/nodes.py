@@ -1,0 +1,229 @@
+"""Runtime nodes: the four concurrent loops of the online control stack
+(LCMHelpers.cuh; call-stack 3.3 in SURVEY.md).
+
+  MPCLoopNode      <- LCM_MPCLoop_Handler (:173-267): on each STATUS, run one
+                      budgeted warm-started solve, publish TRAJ; consume GOAL /
+                      COST_PARAMS / SOLVER_PARAMS updates.
+  TrajRunnerNode   <- LCM_TrajRunner (:97-152): kHz loop; on each STATUS compute
+                      u = u - K dx from the latest TRAJ (native evaluator) and
+                      publish COMMAND.
+  SimulatorNode    <- LCM_Simulator_Handler (:418-524): integrate the plant at a
+                      fixed rate with substeps, publish STATUS, consume COMMAND.
+  StatusFilterNode <- LCM_IIWA_STATUS_filter (:41-94): finite-difference velocity
+                      estimates, republished on STATUS_FILTERED.
+  snoop            <- the channel printer utilities (:286-416).
+
+All nodes are `run(stop_event)` loops intended for threads or processes; any
+subset can run on different machines (multicast bus).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from parallel_ddp_tpu.config import CostWeights
+from parallel_ddp_tpu.models.base import Plant
+from parallel_ddp_tpu.mpc.driver import MPCController, MPCState
+from parallel_ddp_tpu.mpc.simulator import PlantSimulator
+from parallel_ddp_tpu.runtime import messages as msg
+from parallel_ddp_tpu.runtime.pubsub import Channels, NativeTrajRunner, PubSub
+
+
+class MPCLoopNode:
+    def __init__(self, controller: MPCController, bus: PubSub,
+                 goal_to_pytree: Callable[[msg.Goal], object],
+                 initial_goal: msg.Goal,
+                 weights: Optional[CostWeights] = None):
+        self.ctrl = controller
+        self.bus = bus
+        self.goal_to_pytree = goal_to_pytree
+        self.goal = initial_goal
+        self.weights = weights or CostWeights()
+        self.state: Optional[MPCState] = None
+        self.solve_count = 0
+        self.fail_count = 0
+        for ch in (Channels.STATUS, Channels.GOAL, Channels.COST_PARAMS,
+                   Channels.SOLVER_PARAMS):
+            bus.subscribe(ch)
+
+    def _consume_config(self):
+        m = self.bus.poll_new(Channels.GOAL)
+        if m:
+            self.goal = msg.Goal.unpack(m[0])
+        m = self.bus.poll_new(Channels.COST_PARAMS)
+        if m:
+            self.weights = msg.CostParams.unpack(m[0]).weights
+        m = self.bus.poll_new(Channels.SOLVER_PARAMS)
+        if m:
+            sp = msg.SolverParams.unpack(m[0])
+            if sp.clear_vars and self.state is not None:
+                self.state = None  # force re-init on next status
+
+    def run(self, stop: threading.Event, poll_s: float = 0.0005):
+        while not stop.is_set():
+            self._consume_config()
+            m = self.bus.poll_new(Channels.STATUS)
+            if not m:
+                time.sleep(poll_s)
+                continue
+            status = msg.Status.unpack(m[0])
+            goal_pt = self.goal_to_pytree(self.goal)
+            if self.state is None:
+                self.state = self.ctrl.init_state(
+                    status.x, t0=status.utime, goal=goal_pt, weights=self.weights
+                )
+                # compile the step program NOW, then resync to the freshest
+                # status so the loop starts hot (compile can take tens of
+                # seconds; running the plant open-loop meanwhile loses it)
+                self.ctrl.warmup(self.state, goal_pt, self.weights)
+                m2 = self.bus.poll_new(Channels.STATUS)
+                if m2:
+                    status = msg.Status.unpack(m2[0])
+                self.state = self.ctrl.init_state(
+                    status.x, t0=status.utime, goal=goal_pt, weights=self.weights
+                )
+            self.state, info = self.ctrl.step(
+                self.state, status.x, status.utime, goal_pt, self.weights
+            )
+            self.solve_count += 1
+            if not bool(info.accepted):
+                self.fail_count += 1
+            traj = msg.Trajectory(
+                t0=float(self.state.t0), dt=self.ctrl.cfg.dt,
+                x=np.asarray(self.state.x), u=np.asarray(self.state.u),
+                K=np.asarray(self.state.K),
+            )
+            self.bus.publish(Channels.TRAJ, traj.pack())
+
+
+class TrajRunnerNode:
+    def __init__(self, n_state: int, n_ctrl: int, bus: PubSub,
+                 use_feedback: bool = True):
+        self.bus = bus
+        self.native = NativeTrajRunner(n_state, n_ctrl)
+        self.use_feedback = use_feedback
+        self.command_count = 0
+        self.overrun_count = 0
+        bus.subscribe(Channels.STATUS)
+        bus.subscribe(Channels.TRAJ)
+
+    def run(self, stop: threading.Event, poll_s: float = 0.0002):
+        while not stop.is_set():
+            m = self.bus.poll_new(Channels.TRAJ)
+            if m:
+                t = msg.Trajectory.unpack(m[0])
+                self.native.set_traj(t.x, t.u, t.K, t.t0, t.dt)
+            m = self.bus.poll_new(Channels.STATUS)
+            if not m:
+                time.sleep(poll_s)
+                continue
+            status = msg.Status.unpack(m[0])
+            u, rc = self.native.get_control(status.utime, status.x,
+                                            self.use_feedback)
+            if rc == 0:
+                self.bus.publish(
+                    Channels.COMMAND,
+                    msg.Command(status.utime, u, status.q).pack(),
+                )
+                self.command_count += 1
+            elif rc == 1:
+                self.overrun_count += 1  # fail loudly: past trajectory end
+
+
+class SimulatorNode:
+    """Plant-in-the-loop simulator publishing STATUS at a fixed rate."""
+
+    def __init__(self, plant: Plant, bus: PubSub, x0: np.ndarray,
+                 rate_hz: float = 1000.0, substeps: int = 1,
+                 integrator: int = 3, realtime: bool = True,
+                 hold_until_command: bool = True):
+        self.sim = PlantSimulator(plant, rate_hz=rate_hz, substeps=substeps,
+                                  integrator=integrator)
+        self.bus = bus
+        self.x = np.asarray(x0, np.float32)
+        self.t = 0.0
+        self.n_pos = plant.n_pos
+        self.realtime = realtime
+        self.u = np.zeros(plant.n_ctrl, np.float32)
+        # brake the plant until the first command arrives, so a controller
+        # that is still jit-compiling doesn't meet a plant that already fell
+        # (the reference's arm is gravity-compensated, MPC_MODE, so it holds
+        # still for free; a gravity-loaded plant needs the explicit hold)
+        self.hold_until_command = hold_until_command
+        self.commanded = False
+        bus.subscribe(Channels.COMMAND)
+
+    def publish_status(self):
+        self.bus.publish(
+            Channels.STATUS,
+            msg.Status(self.t, self.x[: self.n_pos], self.x[self.n_pos:]).pack(),
+        )
+
+    def tick(self):
+        m = self.bus.poll_new(Channels.COMMAND)
+        if m:
+            self.u = msg.Command.unpack(m[0]).tau
+            self.commanded = True
+        if self.commanded or not self.hold_until_command:
+            self.x = self.sim.step(self.x, self.u)
+        self.t += self.sim.dt
+        self.publish_status()
+
+    def run(self, stop: threading.Event):
+        next_t = time.perf_counter()
+        self.publish_status()
+        while not stop.is_set():
+            self.tick()
+            if self.realtime:
+                next_t += self.sim.dt
+                delay = next_t - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+
+
+class StatusFilterNode:
+    """Finite-difference velocity estimator (LCM_IIWA_STATUS_filter,
+    LCMHelpers.cuh:41-94 — pass-through there; implemented for real here)."""
+
+    def __init__(self, bus: PubSub, alpha: float = 0.0):
+        self.bus = bus
+        self.alpha = alpha
+        self.prev: Optional[msg.Status] = None
+        self.qd_est: Optional[np.ndarray] = None
+        bus.subscribe(Channels.STATUS)
+
+    def run(self, stop: threading.Event, poll_s: float = 0.0002):
+        while not stop.is_set():
+            m = self.bus.poll_new(Channels.STATUS)
+            if not m:
+                time.sleep(poll_s)
+                continue
+            s = msg.Status.unpack(m[0])
+            if self.prev is not None and s.utime > self.prev.utime:
+                qd = (s.q - self.prev.q) / (s.utime - self.prev.utime)
+                if self.qd_est is None or self.alpha <= 0:
+                    self.qd_est = qd
+                else:
+                    self.qd_est = self.alpha * self.qd_est + (1 - self.alpha) * qd
+                out = msg.Status(s.utime, s.q, self.qd_est.astype(np.float32))
+            else:
+                out = s
+            self.prev = s
+            self.bus.publish(Channels.STATUS_FILTERED, out.pack())
+
+
+def snoop(bus: PubSub, channel: str, duration: float = 1.0):
+    """Channel sniffer (the debug printer utilities, LCMHelpers.cuh:286-416)."""
+    bus.subscribe(channel)
+    t_end = time.time() + duration
+    seen = []
+    while time.time() < t_end:
+        m = bus.poll_new(channel)
+        if m:
+            seen.append(msg.unpack_any(m[0]))
+        time.sleep(0.0005)
+    return seen

@@ -1,0 +1,66 @@
+"""Closed-loop MPC tests (lockstep harness, WAFR_MPC_examples.cu:105-238 analog)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from parallel_ddp_tpu.config import SolverConfig
+from parallel_ddp_tpu.costs.joint import pendulum_cost
+from parallel_ddp_tpu.models import pendulum
+from parallel_ddp_tpu.mpc.driver import MPCConfig, MPCController
+from parallel_ddp_tpu.mpc.simulator import PlantSimulator, run_lockstep_mpc
+
+
+def _controller(n=32, total_time=1.0, iters=4):
+    cfg = SolverConfig(
+        num_time_steps=n, total_time=total_time, m_blocks_b=2, m_blocks_f=2,
+        num_alpha=8, alpha_base=0.75, integrator=3, rho_init=10.0,
+    )
+    return MPCController(
+        pendulum(), pendulum_cost(n), cfg, MPCConfig(max_iters_per_solve=iters)
+    )
+
+
+def test_mpc_stabilizes_upright():
+    """Perturbed upright pendulum: the receding-horizon loop must pull it back."""
+    ctrl = _controller()
+    sim = PlantSimulator(pendulum(), rate_hz=200.0)
+    goal = jnp.asarray([np.pi, 0.0])
+    x0 = np.asarray([np.pi - 0.4, 0.3], np.float32)
+    res = run_lockstep_mpc(
+        ctrl, sim, x0, duration=1.5, goal_fn=lambda t: goal, control_period=0.05
+    )
+    xf = res.x[-1]
+    assert abs(xf[0] - np.pi) < 0.1, f"did not stabilize: {xf}"
+    assert abs(xf[1]) < 0.5
+    # most solves should succeed
+    assert np.mean(res.accepted) > 0.6
+
+
+def test_mpc_warm_start_shift():
+    """The device-resident state's clock advances by whole steps as plant time
+    passes (shiftAmount semantics, MPCHelpers.cuh:875)."""
+    ctrl = _controller()
+    goal = jnp.asarray([np.pi, 0.0])
+    x = np.asarray([np.pi, 0.0], np.float32)
+    st = ctrl.init_state(x, t0=0.0, goal=goal)
+    dt = ctrl.cfg.dt
+    st2, info = ctrl.step(st, x, 2.5 * dt, goal)
+    assert int(info.shift_steps) == 2
+    assert abs(float(st2.t0) - 2 * dt) < 1e-6
+    # no time elapsed -> no shift
+    st3, info3 = ctrl.step(st2, x, 2 * dt, goal)
+    assert int(info3.shift_steps) == 0
+
+
+def test_mpc_failure_reset_counter():
+    """Solve failures keep the stale plan and count up; reset zeroes gains."""
+    ctrl = _controller()
+    goal = jnp.asarray([np.pi, 0.0])
+    x = np.asarray([np.pi, 0.0], np.float32)
+    st = ctrl.init_state(x, t0=0.0, goal=goal)
+    # a NaN measured state forces the solve to reject every alpha
+    x_bad = np.asarray([np.nan, np.nan], np.float32)
+    st_bad, info = ctrl.step(st, x_bad, 0.0, goal)
+    assert not bool(info.accepted)
+    assert int(st_bad.fails) == 1

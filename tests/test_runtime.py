@@ -1,0 +1,159 @@
+"""Runtime plane tests: native pub/sub bus, message schemas, native trajectory
+runner, and the full distributed stack as threads over UDP multicast loopback —
+the reference's multi-node-without-cluster pattern (kukaLCMSimulator.cu:52-69).
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from parallel_ddp_tpu.runtime import messages as msg
+from parallel_ddp_tpu.runtime.pubsub import Channels, NativeTrajRunner, PubSub
+
+# use a non-default port so tests don't collide with anything else
+PORT = 7767
+
+
+def _bus_pair():
+    a = PubSub(port=PORT)
+    b = PubSub(port=PORT)
+    return a, b
+
+
+def test_message_roundtrip():
+    s = msg.Status(1.25, np.arange(7, dtype=np.float32),
+                   np.arange(7, dtype=np.float32) * 2)
+    s2 = msg.Status.unpack(s.pack())
+    assert s2.utime == 1.25
+    np.testing.assert_array_equal(s2.q, s.q)
+    np.testing.assert_array_equal(s2.qd, s.qd)
+
+    t = msg.Trajectory(0.5, 0.01, np.random.rand(8, 4).astype(np.float32),
+                       np.random.rand(8, 2).astype(np.float32),
+                       np.random.rand(8, 2, 4).astype(np.float32))
+    t2 = msg.Trajectory.unpack(t.pack())
+    assert t2.t0 == 0.5 and t2.dt == 0.01
+    np.testing.assert_array_equal(t2.K, t.K)
+
+    from parallel_ddp_tpu.config import CostWeights
+    cp = msg.CostParams(CostWeights(q1=5.0, qf_ee1=123.0))
+    cp2 = msg.CostParams.unpack(cp.pack())
+    assert cp2.weights.q1 == 5.0 and cp2.weights.qf_ee1 == 123.0
+
+    g = msg.Goal(0, np.arange(6, dtype=np.float32))
+    g2 = msg.Goal.unpack(g.pack())
+    assert g2.mode == 0 and g2.x_target is None
+
+    assert isinstance(msg.unpack_any(s.pack()), msg.Status)
+
+
+def test_pubsub_roundtrip():
+    tx, rx = _bus_pair()
+    try:
+        rx.subscribe("TEST_CH")
+        time.sleep(0.05)
+        payload = b"hello ddp"
+        deadline = time.time() + 2.0
+        got = None
+        while time.time() < deadline and got is None:
+            tx.publish("TEST_CH", payload)
+            time.sleep(0.01)
+            got = rx.poll("TEST_CH")
+        assert got is not None, "multicast loopback delivery failed"
+        assert got[0] == payload
+        # latest-wins: publish twice, poll sees the second
+        tx.publish("TEST_CH", b"one")
+        tx.publish("TEST_CH", b"two")
+        time.sleep(0.1)
+        assert rx.poll("TEST_CH")[0] == b"two"
+        # unsubscribed channels are dropped
+        tx.publish("OTHER", b"x")
+        time.sleep(0.05)
+        assert rx.poll("OTHER") is None
+    finally:
+        tx.close()
+        rx.close()
+
+
+def test_native_traj_runner_matches_python():
+    from parallel_ddp_tpu.mpc.controls import TrajHandoff, get_hardware_controls
+
+    rng = np.random.default_rng(0)
+    n, nx, nu = 16, 4, 2
+    x = rng.normal(size=(n, nx)).astype(np.float32)
+    u = rng.normal(size=(n, nu)).astype(np.float32)
+    k_arr = rng.normal(size=(n, nu, nx)).astype(np.float32)
+    tr = NativeTrajRunner(nx, nu)
+    tr.set_traj(x, u, k_arr, t0=1.0, dt=0.1)
+    traj = TrajHandoff(x, u, k_arr, 1.0, 0.1)
+    for t in [1.0, 1.05, 1.51, 2.3]:
+        xm = rng.normal(size=nx).astype(np.float32)
+        u_native, rc = tr.get_control(t, xm)
+        u_py, ok = get_hardware_controls(traj, t, xm)
+        assert (rc == 0) == ok
+        if ok:
+            np.testing.assert_allclose(u_native, u_py, rtol=1e-5, atol=1e-6)
+    # past the end fails loudly (MPCHelpers.cuh:827)
+    _, rc = tr.get_control(1.0 + 0.1 * (n - 1), np.zeros(nx, np.float32))
+    assert rc == 1
+    # before any trajectory: rc == 2
+    tr2 = NativeTrajRunner(nx, nu)
+    _, rc = tr2.get_control(0.0, np.zeros(nx, np.float32))
+    assert rc == 2
+
+
+@pytest.mark.slow
+def test_distributed_stack_pendulum():
+    """Solver node + trajectory runner + simulator as separate threads talking
+    only over the multicast bus: the pendulum must stay near upright."""
+    import jax.numpy as jnp
+
+    from parallel_ddp_tpu.config import SolverConfig
+    from parallel_ddp_tpu.costs.joint import pendulum_cost
+    from parallel_ddp_tpu.models import pendulum
+    from parallel_ddp_tpu.mpc.driver import MPCConfig, MPCController
+    from parallel_ddp_tpu.runtime.nodes import MPCLoopNode, SimulatorNode, TrajRunnerNode
+
+    cfg = SolverConfig(num_time_steps=32, total_time=1.0, m_blocks_b=2,
+                       m_blocks_f=2, num_alpha=8, alpha_base=0.75,
+                       integrator=3, rho_init=10.0)
+    ctrl = MPCController(pendulum(), pendulum_cost(32), cfg,
+                         MPCConfig(max_iters_per_solve=3))
+
+    bus_solver = PubSub(port=PORT + 1)
+    bus_runner = PubSub(port=PORT + 1)
+    bus_sim = PubSub(port=PORT + 1)
+
+    goal_vec = jnp.asarray([np.pi, 0.0])
+    node_solver = MPCLoopNode(
+        ctrl, bus_solver,
+        goal_to_pytree=lambda g: jnp.asarray(g.value),
+        initial_goal=msg.Goal(1, np.asarray([np.pi, 0.0], np.float32)),
+    )
+    node_runner = TrajRunnerNode(2, 1, bus_runner)
+    x0 = np.asarray([np.pi - 0.3, 0.0], np.float32)
+    node_sim = SimulatorNode(pendulum(), bus_sim, x0, rate_hz=100.0,
+                             realtime=True)
+
+    stop = threading.Event()
+    threads = [
+        threading.Thread(target=node_solver.run, args=(stop,), daemon=True),
+        threading.Thread(target=node_runner.run, args=(stop,), daemon=True),
+        threading.Thread(target=node_sim.run, args=(stop,), daemon=True),
+    ]
+    for th in threads:
+        th.start()
+    try:
+        time.sleep(12.0)  # includes jit compile of the MPC step
+    finally:
+        stop.set()
+        for th in threads:
+            th.join(timeout=5.0)
+        bus_solver.close(); bus_runner.close(); bus_sim.close()
+
+    assert node_solver.solve_count > 3, "solver never closed the loop"
+    assert node_runner.command_count > 10, "runner never produced commands"
+    xf = node_sim.x
+    assert abs(float(xf[0]) - np.pi) < 0.35, f"pendulum drifted: {xf}"
