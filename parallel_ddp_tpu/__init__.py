@@ -19,6 +19,16 @@ Design stance (TPU-first, not a port):
     LCM pub/sub (LCMHelpers.cuh).
 """
 
+import jax as _jax
+
+# Every matrix in this workload is tiny (<= 14x14 state blocks, 7x7 mass
+# matrices): on TPU the MXU's default one-pass-bf16 fp32 matmul (~8e-3 relative
+# error) destroys the Riccati/RBD numerics that iLQR convergence semantics
+# depend on, while costing nothing at these dims — throughput comes from
+# batching over (alpha, shooting-block, scenario) axes, not from bf16.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from parallel_ddp_tpu.config import (
     SolverConfig,
     CostWeights,

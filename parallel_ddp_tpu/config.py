@@ -167,3 +167,8 @@ class SolveOutput(NamedTuple):
     alpha_trace: jnp.ndarray  # (max_iter+1,) accepted alpha index, -1 = rejected
     rho: jnp.ndarray        # final regularizer
     max_defect: jnp.ndarray  # final max defect
+    converged: jnp.ndarray = None  # last iteration saw < tol_cost improvement
+                                   # available (accepted or not)
+    last_feasible: jnp.ndarray = None  # last line search had some candidate
+                                       # with J non-increasing and defect in
+                                       # bound (rejection = conservatism)

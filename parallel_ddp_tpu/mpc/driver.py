@@ -39,7 +39,12 @@ class MPCConfig:
     """MPC options (config.cuh MPC group + MPCHelpers constants)."""
 
     max_iters_per_solve: int = 6      # the 10 ms budget analog
-    full_rollout: bool = False        # FULL_ROLLOUT: re-sim whole horizon vs first block
+    # FULL_ROLLOUT: re-sim the whole horizon (vs first block only) each warm
+    # start.  The reference's MPC default is 1 (MPCHelpers.cuh:37-38) and it is
+    # what makes the loop robust: a full rollout restores dynamic feasibility
+    # (zero defects) every solve, so a disturbance can never trap the line
+    # search behind the max-defect acceptance test.
+    full_rollout: bool = True
     solves_to_reset: int = 10         # SOLVES_TO_RESET (MPCHelpers.cuh:610)
     max_shift_steps: Optional[int] = None  # clamp on warm-start shift
     # online solves must ENFORCE the defect bound; only the offline warm-up
@@ -47,6 +52,11 @@ class MPCConfig:
     # LCMHelpers.cuh:242 — accepting large-defect candidates online publishes
     # dynamically infeasible trajectories and destabilizes the loop)
     ignore_defect_online: bool = False
+    # the reference's reset zeroes x/u/KT/P/p (MPCHelpers.cuh:610,668) — safe
+    # only for a gravity-compensated plant (zero torque = hold still).  Default
+    # here: restart the SOLVER (zero P/p, rho back to rho_init) but keep
+    # executing the last feasible plan.
+    zero_controls_on_reset: bool = False
 
 
 class MPCState(NamedTuple):
@@ -66,6 +76,7 @@ class MPCStepInfo(NamedTuple):
     accepted: jnp.ndarray
     shift_steps: jnp.ndarray
     max_defect: jnp.ndarray
+    ok: jnp.ndarray = None  # accepted OR converged (not a real failure)
 
 
 def _shift(a: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
@@ -95,6 +106,7 @@ class MPCController:
         self._solver = make_ilqr_solver(plant, cost, solver_cfg)
         self._step_fn = make_step(plant, cfg.integrator, cfg.dt)
         self._jit_step = jax.jit(self._mpc_step)
+        self._init_solvers: dict = {}  # warmup_iters -> compiled solver
 
     def init_state(self, x_actual, t0: float = 0.0, goal=None,
                    weights: Optional[CostWeights] = None,
@@ -105,8 +117,11 @@ class MPCController:
         n_steps = self.cfg.num_time_steps
         x0 = jnp.tile(jnp.asarray(x_actual, jnp.float32)[None], (n_steps, 1))
         u0 = jnp.zeros((n_steps, self.plant.n_ctrl), jnp.float32)
-        warm_cfg = dataclasses.replace(self.cfg, max_iter=warmup_iters)
-        solver = make_ilqr_solver(self.plant, self.cost, warm_cfg)
+        solver = self._init_solvers.get(warmup_iters)
+        if solver is None:
+            warm_cfg = dataclasses.replace(self.cfg, max_iter=warmup_iters)
+            solver = make_ilqr_solver(self.plant, self.cost, warm_cfg)
+            self._init_solvers[warmup_iters] = solver
         out = solver(x0, u0, goal, weights, initial_rollout=True)
         return MPCState(
             x=out.x, u=out.u, K=out.K, P=out.P, p=out.p, d=out.d,
@@ -119,7 +134,6 @@ class MPCController:
         k_mat = _shift(st.K, s)
         p_mat = _shift(st.P, s)
         p_vec = _shift(st.p, s)
-        d = _shift(st.d, s)
 
         # re-rollout from the measured state with the shifted open-loop
         # controls (rolloutMPC, MPCHelpers.cuh:523-563)
@@ -131,8 +145,19 @@ class MPCController:
             x_next = self._step_fn(x_cur, u_k)
             return x_next, x_next
 
-        _, x_sim = jax.lax.scan(body, x_actual, u[: n_roll - 1])
+        x_last, x_sim = jax.lax.scan(body, x_actual, u[: n_roll - 1])
         x = x.at[0].set(x_actual).at[1:n_roll].set(x_sim)
+
+        if self.mpc.full_rollout or self.cfg.m_blocks_f == 1:
+            # the whole horizon is one contiguous simulation: zero defects
+            d = jnp.zeros_like(st.d)
+        else:
+            # shifting moves the old defects off the (fixed) block boundaries;
+            # the first boundary's defect is known exactly because block 0 was
+            # just re-simulated: one more step vs the stored next-block start
+            d = _shift(st.d, s)
+            b0 = self.cfg.n_blocks_f - 1
+            d = d.at[b0].set(self._step_fn(x_last, u[b0]) - x[b0 + 1])
         return x, u, k_mat, p_mat, p_vec, d
 
     def _mpc_step(self, st: MPCState, x_actual, t_now, goal, weights):
@@ -154,17 +179,31 @@ class MPCController:
         )
         accepted = jnp.any(out.alpha_trace[1:] >= 0)
 
-        # failure handling (storeVarsGPU_MPC, MPCHelpers.cuh:752-774)
+        # failure handling (storeVarsGPU_MPC, MPCHelpers.cuh:752-774).  A solve
+        # that accepted nothing because there was nothing to improve
+        # (out.converged), or whose candidates were feasible but rejected by
+        # the z-window (out.last_feasible), is a SUCCESS — a stabilized loop
+        # rejects almost every re-solve by construction, and counting those as
+        # failures drove the periodic reset that destabilized gravity-loaded
+        # plants.  Real failure = no candidate kept cost non-increasing with
+        # defects in bound (NaNs, infeasible warm start).
+        ok = accepted | out.converged | out.last_feasible
+
         def pick(new, old):
             return jnp.where(accepted, new, old)
 
-        fails = jnp.where(accepted, 0, st.fails + 1).astype(jnp.int32)
+        fails = jnp.where(ok, 0, st.fails + 1).astype(jnp.int32)
         reset = fails >= self.mpc.solves_to_reset
         fails = jnp.where(reset, 0, fails)
 
+        def maybe_zero(arr):
+            if self.mpc.zero_controls_on_reset:
+                return jnp.where(reset, jnp.zeros_like(arr), arr)
+            return arr
+
         x_n = pick(out.x, x_w)
-        u_n = jnp.where(reset, jnp.zeros_like(u_w), pick(out.u, u_w))
-        k_n = jnp.where(reset, jnp.zeros_like(k_w), pick(out.K, k_w))
+        u_n = maybe_zero(pick(out.u, u_w))
+        k_n = maybe_zero(pick(out.K, k_w))
         pm_n = jnp.where(reset, jnp.zeros_like(pm_w), pick(out.P, pm_w))
         pv_n = jnp.where(reset, jnp.zeros_like(pv_w), pick(out.p, pv_w))
         d_n = pick(out.d, d_w)
@@ -174,7 +213,7 @@ class MPCController:
         )
         info = MPCStepInfo(
             J=out.J, iters=out.iters, accepted=accepted,
-            shift_steps=s, max_defect=out.max_defect,
+            shift_steps=s, max_defect=out.max_defect, ok=ok,
         )
         return new_state, info
 

@@ -208,6 +208,12 @@ class LineSearchResult(NamedTuple):
     z: jnp.ndarray           # expected-reduction ratio
     max_defect: jnp.ndarray  # selected defect
     ignore_defect: jnp.ndarray  # updated flag
+    best_dJ_frac: jnp.ndarray  # max (prevJ - J)/prevJ over alphas, pre-tests;
+                               # a rejected step with this < tol_cost means
+                               # "already converged", not "failed"
+    any_feasible: jnp.ndarray  # some candidate kept J non-increasing AND the
+                               # defect in bound — a rejection is then z-test
+                               # conservatism, not solver breakdown
 
 
 def line_search(
@@ -257,6 +263,8 @@ def line_search(
         z=jnp.where(accept, z[idx], jnp.zeros_like(prevJ)),
         max_defect=sel_d,
         ignore_defect=new_ignore,
+        best_dJ_frac=jnp.max(cdJ) / prevJ,
+        any_feasible=jnp.any(j_ok & d_ok),
     )
 
 

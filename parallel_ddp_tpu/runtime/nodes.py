@@ -90,7 +90,7 @@ class MPCLoopNode:
                 self.state, status.x, status.utime, goal_pt, self.weights
             )
             self.solve_count += 1
-            if not bool(info.accepted):
+            if not bool(info.ok):
                 self.fail_count += 1
             traj = msg.Trajectory(
                 t0=float(self.state.t0), dt=self.ctrl.cfg.dt,

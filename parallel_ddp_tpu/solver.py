@@ -47,6 +47,8 @@ class _Carry(NamedTuple):
     ignore_defect: Any
     it: Any
     done: Any
+    converged: Any
+    feasible: Any
     J_trace: Any
     alpha_trace: Any
     max_defect: Any
@@ -176,6 +178,8 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
             ignore_defect=jnp.asarray(bool(ignore_first_defect)),
             it=jnp.asarray(1, jnp.int32),
             done=jnp.asarray(False),
+            converged=jnp.asarray(False),
+            feasible=jnp.asarray(True),
             J_trace=J_trace,
             alpha_trace=alpha_trace,
             max_defect=jnp.asarray(0.0, dtype),
@@ -220,6 +224,15 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
                 jnp.where(accept, ls.alpha_idx, -1).astype(jnp.int32)
             )
 
+            # "converged": an accepted step improved by less than tol, OR a
+            # rejected step where even the best candidate had nothing to gain —
+            # the warm-started MPC solve distinguishes this from real failure
+            converged = jnp.where(
+                accept,
+                dJ_frac < cfg.tol_cost,
+                ls.best_dJ_frac < cfg.tol_cost,
+            )
+
             done = jnp.logical_and(accept, dJ_frac < cfg.tol_cost)
             if not cfg.ignore_max_rho_exit:
                 done = jnp.logical_or(
@@ -255,6 +268,8 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
                 ignore_defect=ls.ignore_defect,
                 it=c.it + 1,
                 done=done,
+                converged=converged,
+                feasible=ls.any_feasible,
                 J_trace=J_trace,
                 alpha_trace=alpha_trace,
                 max_defect=jnp.where(accept, ls.max_defect, c.max_defect),
@@ -275,6 +290,8 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
             alpha_trace=final.alpha_trace,
             rho=final.rho,
             max_defect=final.max_defect,
+            converged=final.converged,
+            last_feasible=final.feasible,
         )
 
     return jax.jit(solve, static_argnames=("initial_rollout", "ignore_first_defect"))

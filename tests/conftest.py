@@ -5,11 +5,12 @@ Must set the env vars before the first jax import anywhere in the test process.
 
 import os
 
-# NOTE: the axon TPU plugin rewrites JAX_PLATFORMS (to "axon,cpu"), so
-# JAX_PLATFORMS=cpu alone does NOT force the CPU backend here; JAX_PLATFORM_NAME
-# and jax.config.jax_platforms do.
+# NOTE: the environment pre-sets JAX_PLATFORMS to include the axon TPU plugin
+# and jax 0.9 ignores the deprecated JAX_PLATFORM_NAME, so this must OVERWRITE
+# JAX_PLATFORMS (a setdefault leaves tests silently running on the real chip,
+# where fp32 matmuls default to one-pass bf16).
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -16,12 +16,22 @@ import jax.numpy as jnp
 from parallel_ddp_tpu.models.kuka.rbd import KukaRBD, N_JOINTS
 
 RBD = KukaRBD(ee_type=1, gravity=9.81)
+# Oracle constants in float64: the energy-difference oracle suffers fp32
+# cancellation (~5e-3 abs on O(1) mass entries); the CRBA/RNEA under test stays
+# fp32 and is compared against the f64 truth.
+with jax.enable_x64():
+    RBD64 = KukaRBD(ee_type=1, gravity=9.81, dtype=jnp.float64)
+
+
+def _f64(*arrays):
+    with jax.enable_x64():
+        return tuple(jnp.asarray(np.asarray(a), jnp.float64) for a in arrays)
 
 
 def _link_spatial_velocities(q, qd):
     """Local-frame spatial velocities [w; v] per link via AD of the frames."""
     def frames_flat(qq):
-        rs, ps = RBD.link_frames(qq)
+        rs, ps = RBD64.link_frames(qq)
         return rs, ps
 
     (rs, ps), (drs, dps) = jax.jvp(frames_flat, (q,), (qd,))
@@ -39,25 +49,29 @@ def _link_spatial_velocities(q, qd):
 
 def _kinetic(q, qd):
     sv = _link_spatial_velocities(q, qd)
-    return 0.5 * jnp.sum(jnp.einsum("ki,kij,kj->k", sv, RBD.i_spatial, sv))
+    return 0.5 * jnp.sum(jnp.einsum("ki,kij,kj->k", sv, RBD64.i_spatial, sv))
 
 
 def _potential(q):
     """g * sum_i (m_lin * p_z + (R @ (m c))_z), built from the same spatial
     inertias (including the reference's link-7 mass quirk)."""
-    rs, ps = RBD.link_frames(q)
-    m_lin = RBD.i_spatial[:, 5, 5]
+    rs, ps = RBD64.link_frames(q)
+    m_lin = RBD64.i_spatial[:, 5, 5]
     # m*c vector from the coupling block: I[:3, 3:] = m * skew(c)
     mc = jnp.stack(
         [
             jnp.stack(
-                [RBD.i_spatial[i, 2, 4], RBD.i_spatial[i, 0, 5], RBD.i_spatial[i, 1, 3]]
+                [
+                    RBD64.i_spatial[i, 2, 4],
+                    RBD64.i_spatial[i, 0, 5],
+                    RBD64.i_spatial[i, 1, 3],
+                ]
             )
             for i in range(N_JOINTS)
         ]
     )
     z_com_mass = m_lin * ps[:, 2] + jnp.einsum("kij,kj->ki", rs, mc)[:, 2]
-    return RBD.gravity * jnp.sum(z_com_mass)
+    return RBD64.gravity * jnp.sum(z_com_mass)
 
 
 def lagrangian_dynamics(x, u):
@@ -87,14 +101,15 @@ def test_mass_matrix_symmetric_pd():
         assert np.all(np.linalg.eigvalsh(m) > 0)
 
 
-def _mass_from_energy(q):
+def _mass_from_energy(q64):
     """T is exactly quadratic in qd: M_ij = T(e_i + e_j) - T(e_i) - T(e_j).
 
-    Avoids fp32 second-order AD noise (verified exact to 1e-14 in float64)."""
-    e = np.eye(N_JOINTS, dtype=np.float32)
-    t = lambda v: float(_kinetic(q, jnp.asarray(v)))
+    Runs in float64 (matches the CRBA f64 result to 1e-14) so the fp32
+    implementation under test is compared against near-exact truth."""
+    e = np.eye(N_JOINTS)
+    t = lambda v: float(_kinetic(q64, jnp.asarray(v, q64.dtype)))
     ti = [t(e[i]) for i in range(N_JOINTS)]
-    m = np.zeros((N_JOINTS, N_JOINTS), np.float32)
+    m = np.zeros((N_JOINTS, N_JOINTS))
     for i in range(N_JOINTS):
         m[i, i] = 2 * ti[i]
         for j in range(i + 1, N_JOINTS):
@@ -106,7 +121,9 @@ def test_mass_matrix_vs_lagrangian():
     q, qd, _ = rand_states(2, seed=2)
     for i in range(2):
         _, m = RBD.bias_and_mass(jnp.asarray(q[i]), jnp.asarray(qd[i]))
-        m_l = _mass_from_energy(jnp.asarray(q[i]))
+        with jax.enable_x64():
+            (q64,) = _f64(q[i])
+            m_l = _mass_from_energy(q64)
         np.testing.assert_allclose(np.asarray(m), m_l, rtol=1e-3, atol=5e-4)
 
 
@@ -114,13 +131,18 @@ def test_bias_vs_lagrangian():
     """RNEA bias vs d/dt(dT/dqd) - dT/dq + dV/dq with first-order AD only."""
     q, qd, _ = rand_states(2, seed=3)
     for i in range(2):
-        qq, qqd = jnp.asarray(q[i]), jnp.asarray(qd[i])
-        c_rnea, _ = RBD.bias_and_mass(qq, qqd)
-        dT_dqd = jax.grad(_kinetic, argnums=1)
-        dtdt = jax.jvp(lambda z: dT_dqd(z, qqd), (qq,), (qqd,))[1]
-        c_l = dtdt - jax.grad(_kinetic, argnums=0)(qq, qqd) + jax.grad(_potential)(qq)
+        c_rnea, _ = RBD.bias_and_mass(jnp.asarray(q[i]), jnp.asarray(qd[i]))
+        with jax.enable_x64():
+            qq, qqd = _f64(q[i], qd[i])
+            dT_dqd = jax.grad(_kinetic, argnums=1)
+            dtdt = jax.jvp(lambda z: dT_dqd(z, qqd), (qq,), (qqd,))[1]
+            c_l = (
+                dtdt
+                - jax.grad(_kinetic, argnums=0)(qq, qqd)
+                + jax.grad(_potential)(qq)
+            )
         np.testing.assert_allclose(
-            np.asarray(c_rnea), np.asarray(c_l), rtol=1e-2, atol=5e-2
+            np.asarray(c_rnea), np.asarray(c_l), rtol=1e-3, atol=1e-3
         )
 
 
@@ -139,9 +161,10 @@ def test_static_gravity_torque():
     """At rest, tau = dV/dq exactly (gravity compensation)."""
     q, _, _ = rand_states(2, seed=6)
     for i in range(2):
-        qq = jnp.asarray(q[i])
-        tau = RBD.inverse_dynamics(qq, jnp.zeros(7), jnp.zeros(7))
-        g_ad = jax.grad(_potential)(qq)
+        tau = RBD.inverse_dynamics(jnp.asarray(q[i]), jnp.zeros(7), jnp.zeros(7))
+        with jax.enable_x64():
+            (qq,) = _f64(q[i])
+            g_ad = jax.grad(_potential)(qq)
         np.testing.assert_allclose(np.asarray(tau), np.asarray(g_ad), rtol=1e-3, atol=1e-3)
 
 
@@ -167,7 +190,10 @@ def test_ee_velocity_matches_fd():
 
 
 def test_dynamics_jacobian_finite_diff():
-    """testDynGrad.cu analog: jacfwd of qdd vs central differences."""
+    """testDynGrad.cu analog: fp32 jacfwd of qdd vs f64 central differences.
+
+    The FD oracle must run in f64: on O(100) accelerations, fp32 central
+    differences carry ~1% noise — larger than the errors being hunted."""
     from parallel_ddp_tpu.models.kuka import kuka
 
     plant = kuka()
@@ -176,21 +202,18 @@ def test_dynamics_jacobian_finite_diff():
     x = jnp.asarray(rng.normal(0, 1.0, 14).astype(np.float32))
     u = jnp.asarray(rng.normal(0, 50.0, 7).astype(np.float32))
     a = np.asarray(jac(x, u))
-    eps = 1e-3
+    eps = 1e-6
     cols = []
-    for i in range(14):
-        dx = np.zeros(14, np.float32)
-        dx[i] = eps
-        cols.append(
-            (np.asarray(plant.dynamics(x + dx, u)) - np.asarray(plant.dynamics(x - dx, u)))
-            / (2 * eps)
-        )
-    for j in range(7):
-        duv = np.zeros(7, np.float32)
-        duv[j] = eps
-        cols.append(
-            (np.asarray(plant.dynamics(x, u + duv)) - np.asarray(plant.dynamics(x, u - duv)))
-            / (2 * eps)
-        )
+    with jax.enable_x64():
+        x64, u64 = _f64(x, u)
+        dyn = lambda xx, uu: np.asarray(RBD64.forward_dynamics(xx, uu))
+        for i in range(14):
+            dx = np.zeros(14)
+            dx[i] = eps
+            cols.append((dyn(x64 + dx, u64) - dyn(x64 - dx, u64)) / (2 * eps))
+        for j in range(7):
+            duv = np.zeros(7)
+            duv[j] = eps
+            cols.append((dyn(x64, u64 + duv) - dyn(x64, u64 - duv)) / (2 * eps))
     fd = np.stack(cols, 1)
-    np.testing.assert_allclose(a, fd, rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(a, fd, rtol=1e-3, atol=1e-2)

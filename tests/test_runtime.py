@@ -122,6 +122,13 @@ def test_distributed_stack_pendulum():
     ctrl = MPCController(pendulum(), pendulum_cost(32), cfg,
                          MPCConfig(max_iters_per_solve=3))
 
+    # pre-compile everything the solver node will run (init solve + MPC step)
+    # so the real-time window below measures the loop, not XLA compile time
+    goal_pre = jnp.asarray([np.pi, 0.0])
+    st_pre = ctrl.init_state(np.asarray([np.pi - 0.3, 0.0], np.float32),
+                             t0=0.0, goal=goal_pre)
+    ctrl.warmup(st_pre, goal_pre)
+
     bus_solver = PubSub(port=PORT + 1)
     bus_runner = PubSub(port=PORT + 1)
     bus_sim = PubSub(port=PORT + 1)
