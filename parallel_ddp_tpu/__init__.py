@@ -19,6 +19,8 @@ Design stance (TPU-first, not a port):
     LCM pub/sub (LCMHelpers.cuh).
 """
 
+import os as _os
+
 import jax as _jax
 
 # Every matrix in this workload is tiny (<= 14x14 state blocks, 7x7 mass
@@ -28,6 +30,19 @@ import jax as _jax
 # batching over (alpha, shooting-block, scenario) axes, not from bf16.
 if _jax.config.jax_default_matmul_precision is None:
     _jax.config.update("jax_default_matmul_precision", "highest")
+
+# The unrolled scalar-channel dynamics (models/kuka/soa.py) trade compile time
+# for a ~500x execution speedup; a full solver program takes ~10 min to build.
+# Cache compiled executables across processes so that cost is paid once.
+if not _jax.config.jax_compilation_cache_dir:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "PARALLEL_DDP_TPU_CACHE",
+            _os.path.expanduser("~/.cache/parallel_ddp_tpu/xla"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from parallel_ddp_tpu.config import (
     SolverConfig,

@@ -108,10 +108,18 @@ class SolverConfig:
         if self.integrator not in (1, 2, 3):
             raise ValueError("integrator must be 1 (Euler), 2 (Midpoint) or 3 (RK3)")
 
-    def alphas(self, dtype=jnp.float32):
-        """Line-search step sizes alpha_i = alpha_base**i (nisInitHelpers.cuh:829)."""
-        return jnp.power(
-            jnp.asarray(self.alpha_base, dtype), jnp.arange(self.num_alpha, dtype=dtype)
+    def alphas(self, dtype=None):
+        """Line-search step sizes alpha_i = alpha_base**i (nisInitHelpers.cuh:829).
+
+        Returned as a NUMPY array: jit-captured *device* arrays take a
+        pathologically slow execution path on the axon TPU tunnel (~25 ms per
+        dispatch, sticky for the process) while numpy constants embed as HLO
+        literals.  See tests/test_no_device_constants.py."""
+        import numpy as _np
+
+        return _np.power(
+            _np.asarray(self.alpha_base, _np.float32),
+            _np.arange(self.num_alpha, dtype=_np.float32),
         )
 
 

@@ -177,12 +177,17 @@ def ee_cost(
     return CostModel(name="ee_cost", stage=stage, quad=quad)
 
 
-# Kuka iiwa-14 limits (cost_arm.cuh:12-25, safety factor 0.8 applied)
-KUKA_POS_LIMITS = jnp.asarray(
+# Kuka iiwa-14 limits (cost_arm.cuh:12-25, safety factor 0.8 applied).
+# Numpy on purpose: these are captured by jitted cost closures, and captured
+# DEVICE arrays hit the axon tunnel's pathological dispatch path (config.py).
+import numpy as _np
+
+KUKA_POS_LIMITS = _np.asarray(
     [2.96705972839, 2.09439510239, 2.96705972839, 2.09439510239, 2.96705972839,
-     2.09439510239, 3.05432619099]
+     2.09439510239, 3.05432619099], _np.float32
 ) * 0.8
-KUKA_VEL_LIMITS = jnp.asarray(
-    [1.483529, 1.483529, 1.745329, 1.308996, 2.268928, 2.356194, 2.356194]
+KUKA_VEL_LIMITS = _np.asarray(
+    [1.483529, 1.483529, 1.745329, 1.308996, 2.268928, 2.356194, 2.356194],
+    _np.float32
 ) * 0.8
-KUKA_TORQUE_LIMITS = jnp.full((7,), 300.0) * 0.8
+KUKA_TORQUE_LIMITS = _np.full((7,), 300.0, _np.float32) * 0.8

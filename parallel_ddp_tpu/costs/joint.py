@@ -50,10 +50,15 @@ def _make(name: str, num_time_steps: int, diags: Callable):
 def fixed_diag_cost(
     name: str, num_time_steps: int, q_diag, r_diag, qf_diag
 ) -> CostModel:
-    """Cost with fixed (non-runtime-tunable) diagonal weights."""
-    q_diag = jnp.asarray(q_diag, jnp.float32)
-    r_diag = jnp.asarray(r_diag, jnp.float32)
-    qf_diag = jnp.asarray(qf_diag, jnp.float32)
+    """Cost with fixed (non-runtime-tunable) diagonal weights.
+
+    Weights stay NUMPY: they are captured by jitted closures, and captured
+    device arrays hit the axon tunnel's slow dispatch path (config.py)."""
+    import numpy as np
+
+    q_diag = np.asarray(q_diag, np.float32)
+    r_diag = np.asarray(r_diag, np.float32)
+    qf_diag = np.asarray(qf_diag, np.float32)
     return _make(name, num_time_steps, lambda w: (q_diag, r_diag, qf_diag))
 
 

@@ -77,10 +77,14 @@ class KukaRBD:
 
     def __init__(self, ee_type: int = 1, gravity: float = 9.81, dtype=jnp.float32):
         r_tree, p_tree, i_sp, ee_off, grav = kp.build_constants(ee_type, gravity)
-        self.r_tree = jnp.asarray(r_tree, dtype)
-        self.p_tree = jnp.asarray(p_tree, dtype)
-        self.i_spatial = jnp.asarray(i_sp, dtype)
-        self.ee_offset = jnp.asarray(ee_off, dtype)
+        # numpy, not device arrays: these constants are captured by jitted
+        # closures, and captured device arrays hit the axon TPU tunnel's slow
+        # dispatch path (see config.py alphas docstring)
+        np_dtype = np.dtype(dtype)
+        self.r_tree = np.asarray(r_tree, np_dtype)
+        self.p_tree = np.asarray(p_tree, np_dtype)
+        self.i_spatial = np.asarray(i_sp, np_dtype)
+        self.ee_offset = np.asarray(ee_off, np_dtype)
         self.gravity = grav
         self.dtype = dtype
 

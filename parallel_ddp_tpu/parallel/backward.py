@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from parallel_ddp_tpu.config import SolverConfig
+from parallel_ddp_tpu.ops.linalg import chol_solve_unrolled
 
 
 class BackwardPassResult(NamedTuple):
@@ -107,14 +108,17 @@ def backward_pass(
         gx = gk[:n] + A.T @ p_t
         gu = gk[n:] + B.T @ p_t
 
-        # PD test + solve via Cholesky (the reference's Gauss-Jordan + pivot test,
-        # bpHelpers.cuh:96-204; README.md:40 wishlists the square-root form)
+        # PD test + solve via fully-unrolled Cholesky (ops/linalg.py — the
+        # reference's Gauss-Jordan + pivot test, bpHelpers.cuh:96-204, in the
+        # square-root form README.md:40 wishlists; unrolled because the
+        # batched LAPACK-style factorization was the backward pass's single
+        # largest launch-latency cost on TPU)
         Huu_safe = Huu + jnp.where(is_terminal, 1.0, 0.0) * eye_m
-        chol = jnp.linalg.cholesky(Huu_safe)
-        fail_k = jnp.logical_and(~jnp.all(jnp.isfinite(chol)), ~is_terminal)
-        chol_safe = jnp.where(jnp.all(jnp.isfinite(chol)), chol, eye_m)
-        Kk = jax.scipy.linalg.cho_solve((chol_safe, True), Hux)
-        duk = jax.scipy.linalg.cho_solve((chol_safe, True), gu)
+        rhs = jnp.concatenate([Hux, gu[:, None]], axis=-1)
+        sol, pd_ok = chol_solve_unrolled(Huu_safe, rhs)
+        fail_k = jnp.logical_and(~pd_ok, ~is_terminal)
+        Kk = sol[:, :n]
+        duk = sol[:, n]
 
         if cfg.state_reg:
             KtHuu = Kk.T @ Huu

@@ -1,0 +1,106 @@
+"""Guard: no jit-captured device-array constants in any solver entry point.
+
+On the axon TPU tunnel, an executable that captures a committed jax.Array
+constant (created OUTSIDE the trace and closed over) dispatches ~1000x slower
+(~25 ms per call) and sticks the whole process in that slow mode.  Numpy
+constants (HLO literals) and arrays created during tracing are fine.  This test
+traces every major entry point and asserts its jaxpr closes over no jax.Array.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _device_consts(closed_jaxpr):
+    return [
+        c for c in closed_jaxpr.consts
+        if isinstance(c, jax.Array) and np.ndim(c) > 0
+    ]
+
+
+def _assert_clean(closed_jaxpr, what):
+    bad = _device_consts(closed_jaxpr)
+    assert not bad, (
+        f"{what} captures {len(bad)} device-array constant(s) with shapes "
+        f"{[b.shape for b in bad[:5]]} — use numpy for closure constants "
+        f"(see config.py SolverConfig.alphas docstring)"
+    )
+
+
+def test_ilqr_solver_has_no_device_constants():
+    from parallel_ddp_tpu.presets import kuka_ee, ee_goal
+    from parallel_ddp_tpu.solver import make_ilqr_solver
+
+    prob = kuka_ee(num_time_steps=8, m_blocks=2, num_alpha=2)
+    cfg = dataclasses.replace(prob.cfg, max_iter=2)
+    solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
+    x0 = jnp.zeros((8, 14)); u0 = jnp.zeros((8, 7))
+    goal = ee_goal([0.3, -0.5, 0.4])
+    jaxpr = jax.make_jaxpr(
+        lambda x, u, g: solver(x, u, g, initial_rollout=True)
+    )(x0, u0, goal)
+    _assert_clean(jaxpr, "kuka_ee ilqr solver")
+
+
+def test_ilqr_solver_limits_smoothabs_no_device_constants():
+    from parallel_ddp_tpu.presets import kuka_ee, ee_goal
+    from parallel_ddp_tpu.solver import make_ilqr_solver
+
+    prob = kuka_ee(num_time_steps=8, m_blocks=2, num_alpha=2,
+                   use_smooth_abs=True, use_limits=True, use_ee_vel=True)
+    cfg = dataclasses.replace(prob.cfg, max_iter=2)
+    solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
+    x0 = jnp.zeros((8, 14)); u0 = jnp.zeros((8, 7))
+    goal = ee_goal([0.3, -0.5, 0.4])
+    jaxpr = jax.make_jaxpr(
+        lambda x, u, g: solver(x, u, g, initial_rollout=True)
+    )(x0, u0, goal)
+    _assert_clean(jaxpr, "kuka_ee (limits+smoothabs+eevel) solver")
+
+
+def test_joint_solvers_no_device_constants():
+    from parallel_ddp_tpu.presets import (
+        cartpole_swingup, kuka_joint, pendulum_swingup, quadrotor_task,
+    )
+    from parallel_ddp_tpu.solver import make_ilqr_solver
+
+    for prob in [pendulum_swingup(num_time_steps=8, m_blocks=2, num_alpha=2),
+                 cartpole_swingup(num_time_steps=8, m_blocks=2, num_alpha=2),
+                 quadrotor_task(num_time_steps=8, m_blocks=2, num_alpha=2),
+                 kuka_joint(num_time_steps=8, m_blocks=2, num_alpha=2)]:
+        cfg = dataclasses.replace(prob.cfg, max_iter=2)
+        solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
+        n = prob.plant.n_state
+        m = prob.plant.n_ctrl
+        x0 = jnp.zeros((8, n)); u0 = jnp.zeros((8, m))
+        goal = jnp.zeros((n,))
+        jaxpr = jax.make_jaxpr(
+            lambda x, u, g: solver(x, u, g, initial_rollout=True)
+        )(x0, u0, goal)
+        _assert_clean(jaxpr, f"{prob.plant.name} solver")
+
+
+def test_mpc_step_no_device_constants():
+    from parallel_ddp_tpu.config import SolverConfig, CostWeights
+    from parallel_ddp_tpu.costs.joint import pendulum_cost
+    from parallel_ddp_tpu.models import pendulum
+    from parallel_ddp_tpu.mpc.driver import MPCConfig, MPCController, MPCState
+
+    cfg = SolverConfig(num_time_steps=8, total_time=0.5, m_blocks_b=2,
+                       m_blocks_f=2, num_alpha=2, integrator=3)
+    ctrl = MPCController(pendulum(), pendulum_cost(8), cfg,
+                         MPCConfig(max_iters_per_solve=2))
+    st = MPCState(
+        x=jnp.zeros((8, 2)), u=jnp.zeros((8, 1)), K=jnp.zeros((8, 1, 2)),
+        P=jnp.zeros((8, 2, 2)), p=jnp.zeros((8, 2)), d=jnp.zeros((8, 2)),
+        t0=jnp.asarray(0.0), fails=jnp.asarray(0, jnp.int32),
+    )
+    jaxpr = jax.make_jaxpr(ctrl._mpc_step)(
+        st, jnp.zeros(2), jnp.asarray(0.1), jnp.zeros(2), CostWeights()
+    )
+    _assert_clean(jaxpr, "MPC step")
