@@ -13,6 +13,16 @@ Phases, like the reference goal handler (LCM_fig8_examples.cu:140-190):
      reference path.
 
 Run: python benchmarks/fig8.py [--duration 10] [--control-period 0.01]
+     python benchmarks/fig8.py --device-loop     # fully fused on-device loop
+
+Two modes:
+  * host loop (default): solver on device, trajectory runner + plant on host —
+    the real deployment topology.  NOTE: on the remote-tunnel dev TPU every
+    per-step host read costs ~24 ms of network RTT, so host-loop wall times
+    there measure the tunnel, not the framework.
+  * --device-loop: controller + plant fused in ONE program
+    (mpc/device_loop.py, the reference's testMPC_lockstep analog) — results
+    read once at the end; this is the number that reflects the hardware.
 """
 
 import argparse
@@ -25,6 +35,81 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def run_device_loop(args):
+    import jax
+    import jax.numpy as jnp
+
+    from parallel_ddp_tpu.mpc.device_loop import make_device_mpc_loop
+    from parallel_ddp_tpu.mpc.driver import MPCConfig, MPCController
+    from parallel_ddp_tpu.presets import fig8_weights, figure8_goal, kuka_ee
+
+    prob = kuka_ee(mpc_mode=True)
+    ctrl = MPCController(
+        prob.plant, prob.cost, prob.cfg, MPCConfig(max_iters_per_solve=args.iters)
+    )
+    loop = make_device_mpc_loop(
+        ctrl, sim_rate_hz=args.sim_rate, control_period_s=args.control_period,
+        sim_integrator=1,
+    )
+
+    x_init = np.zeros(14, np.float32)
+    x_init[1], x_init[3], x_init[5] = np.pi / 4, -np.pi / 4, np.pi / 4
+    w = fig8_weights()
+
+    def goals_for(times):
+        xyz = np.stack([figure8_goal(t, args.duration)[0] for t in times])
+        g = np.concatenate([xyz, np.zeros_like(xyz)], axis=1).astype(np.float32)
+        return {
+            "ee_goal": jnp.asarray(g),
+            "x_target": jnp.asarray(
+                np.tile(x_init, (len(times), 1)).astype(np.float32)),
+        }
+
+    n_settle = int(round(args.settle_time / args.control_period))
+    n_track = int(round(args.duration * args.reps / args.control_period))
+    goals_settle = goals_for(np.zeros(n_settle))
+    goals_track = goals_for(
+        (np.arange(n_track) + 1) * args.control_period)
+
+    st = ctrl.init_state(x_init, t0=0.0, goal=jax.tree_util.tree_map(
+        lambda a: a[0], goals_settle), weights=w)
+
+    # compile both phases; reading a result flips the process into synchronous
+    # dispatch, so the timed rerun below measures true device time (+1 RTT)
+    # rather than enqueue latency (see bench.py docstring)
+    res_settle = loop(st, x_init, 0.0, goals_settle, w)
+    jax.block_until_ready(res_settle.ee_err)
+    t_settle = args.settle_time
+    res_track = loop(res_settle.state, res_settle.x[-1], t_settle, goals_track, w)
+    _ = float(res_track.J[-1])
+
+    t0 = time.perf_counter()
+    res_track = loop(res_settle.state, res_settle.x[-1], t_settle, goals_track, w)
+    jax.block_until_ready(res_track.ee_err)
+    wall = time.perf_counter() - t0
+
+    errors = np.asarray(res_track.ee_err)
+    accepts = np.asarray(res_track.ok)
+    avg_err = float(np.mean(errors))
+    solve_ms = wall * 1000.0 / n_track
+    result = {
+        "metric": "kuka_fig8_avg_ee_tracking_error",
+        "value": round(avg_err, 4),
+        "unit": "m (10s fig8, N=64, M=4, 16 alphas, %d iters/solve, device loop)"
+                % args.iters,
+        "vs_baseline": round(0.0878 / max(avg_err, 1e-9), 3),
+        "extra": {
+            "mode": "device_loop",
+            "per_control_step_ms": round(solve_ms, 3),
+            "baseline_solve_ms": 10.29,
+            "ok_rate": round(float(np.mean(accepts)), 3),
+            "max_err_m": round(float(np.max(errors)), 4),
+            "settle_final_err_m": round(float(np.asarray(res_settle.ee_err)[-1]), 4),
+        },
+    }
+    print(json.dumps(result))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--duration", type=float, default=10.0, help="fig8 period (s)")
@@ -33,7 +118,12 @@ def main():
     ap.add_argument("--sim-rate", type=float, default=1000.0)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--settle-time", type=float, default=4.0)
+    ap.add_argument("--device-loop", action="store_true")
     args = ap.parse_args()
+
+    if args.device_loop:
+        run_device_loop(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -87,6 +87,10 @@ class SolverConfig:
     use_limits: bool = False
     ee_cost: bool = False
     slq: bool = False
+    # central finite differences for the discrete dynamics Jacobian instead of
+    # AD (USE_FINITE_DIFF, nisInitHelpers.cuh:138-243)
+    use_finite_diff: bool = False
+    fd_eps: float = 1e-4
 
     @property
     def dt(self) -> float:

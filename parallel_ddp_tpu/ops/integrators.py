@@ -80,6 +80,28 @@ def make_step_jacobian(plant: Plant, integrator: int, dt: float) -> Callable:
     return jac
 
 
+def make_step_jacobian_fd(
+    plant: Plant, integrator: int, dt: float, eps: float = 1e-4
+) -> Callable:
+    """Central-finite-difference AB (the reference's USE_FINITE_DIFF variant,
+    `finiteDiffInner`, nisInitHelpers.cuh:138-243) — for plants whose dynamics
+    are not differentiable (lookup tables, contact hacks) or as a cross-check."""
+
+    step = make_step(plant, integrator, dt)
+    n, m = plant.n_state, plant.n_ctrl
+
+    def jac(x, u):
+        def col(i):
+            dx = jnp.zeros(n + m, x.dtype).at[i].set(eps)
+            xp, up = x + dx[:n], u + dx[n:]
+            xm, um = x - dx[:n], u - dx[n:]
+            return (step(xp, up) - step(xm, um)) / (2.0 * eps)
+
+        return jax.vmap(col, out_axes=1)(jnp.arange(n + m))
+
+    return jac
+
+
 def make_step_with_jacobian(plant: Plant, integrator: int, dt: float) -> Callable:
     """Return f(x, u) -> (x_next, AB) computing both in one trace."""
 

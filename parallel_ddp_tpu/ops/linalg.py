@@ -27,7 +27,6 @@ def chol_solve_unrolled(m, rhs, eps: float = 0.0):
     reference's inversion-failure -> rho-retry path (bpHelpers.cuh:483-517)."""
     d = m.shape[-1]
     r = rhs.shape[-1]
-    tiny = jnp.asarray(1e-30, m.dtype)
 
     l_ch = [[None] * d for _ in range(d)]
     ok = None
@@ -37,7 +36,9 @@ def chol_solve_unrolled(m, rhs, eps: float = 0.0):
             acc = acc - l_ch[j][k] * l_ch[j][k]
         pos = acc > eps
         ok = pos if ok is None else jnp.logical_and(ok, pos)
-        l_ch[j][j] = jnp.sqrt(jnp.maximum(acc, tiny))
+        # failed pivots are replaced by 1 so X stays FINITE (a 1e-30 clamp
+        # overflows downstream); callers gate on `ok`
+        l_ch[j][j] = jnp.sqrt(jnp.where(pos, acc, 1.0))
         inv = 1.0 / l_ch[j][j]
         for i in range(j + 1, d):
             a2 = m[..., i, j]
@@ -45,22 +46,21 @@ def chol_solve_unrolled(m, rhs, eps: float = 0.0):
                 a2 = a2 - l_ch[i][k] * l_ch[j][k]
             l_ch[i][j] = a2 * inv
 
-    cols = []
-    for c in range(r):
-        # forward: L z = rhs[:, c]
-        z = [None] * d
-        for i in range(d):
-            acc = rhs[..., i, c]
-            for k in range(i):
-                acc = acc - l_ch[i][k] * z[k]
-            z[i] = acc / l_ch[i][i]
-        # backward: L^T y = z
-        y = [None] * d
-        for i in reversed(range(d)):
-            acc = z[i]
-            for k in range(i + 1, d):
-                acc = acc - l_ch[k][i] * y[k]
-            y[i] = acc / l_ch[i][i]
-        cols.append(jnp.stack(y, axis=-1))
-    x = jnp.stack(cols, axis=-1)
+    # triangular solves VECTORIZED over all R right-hand sides at once — a
+    # python loop over columns would serialize R independent solves into one
+    # ~R*d^2-deep dependency chain (measured as the dominant fusion of the
+    # whole backward pass); this form is ~d^2 ops on (..., R)-wide data.
+    z = [None] * d
+    for i in range(d):
+        acc = rhs[..., i, :]
+        for k in range(i):
+            acc = acc - l_ch[i][k][..., None] * z[k]
+        z[i] = acc / l_ch[i][i][..., None]
+    y = [None] * d
+    for i in reversed(range(d)):
+        acc = z[i]
+        for k in range(i + 1, d):
+            acc = acc - l_ch[k][i][..., None] * y[k]
+        y[i] = acc / l_ch[i][i][..., None]
+    x = jnp.stack(y, axis=-2)
     return x, ok

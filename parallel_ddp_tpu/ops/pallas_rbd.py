@@ -1,0 +1,137 @@
+"""Pallas TPU kernels for the batched Kuka rigid-body dynamics hot path.
+
+The scalar-channel RBD core (models/kuka/soa.py) is a pure elementwise
+dataflow, so the SAME code runs verbatim inside a Pallas kernel: this module
+stages a whole batch tile of the RNEA + CRBA + Cholesky chain through VMEM in
+ONE kernel — zero HBM round-trips for the ~2k intermediates (the XLA-fused
+version crosses ~400 fusion boundaries).  This is the TPU twin of the
+reference's single fused CUDA RBD kernel staged through shared memory
+(dynamics_arm.cuh:2095-2163, shared-memory budget at :2098-2118).
+
+Layout: each per-joint scalar channel is exactly one native (8, 128) f32 VMEM
+tile, i.e. 1024 batch samples per kernel invocation with zero padding waste
+(a (TILE, 1) column layout pads the lane dim 128x and OOMs scoped VMEM).
+Callers pass any batch size; the wrapper pads/reshapes to (nb, ch, 8, 128)
+tiles and vmaps (Pallas lifts the vmap into a grid dimension).
+
+Used for large scenario-batched evaluation (the scale-out path); the jitted
+XLA path remains the default inside the solver (identical math, and the solver
+fuses the dynamics into its rollout scans).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from parallel_ddp_tpu.models.kuka import soa
+
+N_JOINTS = 7
+_SUB, _LANE = 8, 128
+_TILE_B = _SUB * _LANE  # 1024 samples per kernel call
+
+
+def _qdd_kernel(cc, x_ref, u_ref, out_ref):
+    q = [x_ref[i] for i in range(N_JOINTS)]
+    qd = [x_ref[N_JOINTS + i] for i in range(N_JOINTS)]
+    tau = [u_ref[i] for i in range(N_JOINTS)]
+    qdd = soa.qdd_channels(cc, q, qd, tau)
+    for i in range(N_JOINTS):
+        out_ref[i] = qdd[i]
+
+
+def _jac_kernel(cc, x_ref, u_ref, out_ref):
+    """d qdd / d [x; u] per sample, channels (7*21, 8, 128).
+
+    jax.linearize shares the primal RNEA/CRBA work across all 21 tangents; the
+    tangent applications are elementwise too, so the whole Jacobian stays in
+    VMEM."""
+    xs = [x_ref[i] for i in range(2 * N_JOINTS)]
+    us = [u_ref[i] for i in range(N_JOINTS)]
+
+    def f(*chans):
+        q, qd, tau = chans[:7], chans[7:14], chans[14:21]
+        return soa.qdd_channels(cc, list(q), list(qd), list(tau))
+
+    _, f_lin = jax.linearize(f, *(xs + us))
+    zero = xs[0] * 0.0
+    one = zero + 1.0
+    for j in range(3 * N_JOINTS):
+        tangents = [one if i == j else zero for i in range(3 * N_JOINTS)]
+        col = f_lin(*tangents)
+        for i in range(N_JOINTS):
+            out_ref[i * 3 * N_JOINTS + j] = col[i]
+
+
+@functools.lru_cache(maxsize=8)
+def _build(ee_type: int, gravity: float, interpret: bool):
+    cc = soa._consts(ee_type, gravity)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    qdd_call = pl.pallas_call(
+        functools.partial(_qdd_kernel, cc),
+        out_shape=jax.ShapeDtypeStruct((N_JOINTS, _SUB, _LANE), jnp.float32),
+        in_specs=[vspec, vspec],
+        out_specs=vspec,
+        interpret=interpret,
+    )
+    jac_call = pl.pallas_call(
+        functools.partial(_jac_kernel, cc),
+        out_shape=jax.ShapeDtypeStruct(
+            (N_JOINTS * 3 * N_JOINTS, _SUB, _LANE), jnp.float32
+        ),
+        in_specs=[vspec, vspec],
+        out_specs=vspec,
+        interpret=interpret,
+    )
+    return qdd_call, jac_call
+
+
+def _to_tiles(a):
+    """(B, C) -> (nb, C, 8, 128) channel tiles (pads B up to a 1024 multiple)."""
+    b, c = a.shape
+    nb = -(-b // _TILE_B)
+    pad = nb * _TILE_B - b
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad, c), a.dtype)])
+    # (nb*1024, C) -> (nb, 8, 128, C) -> (nb, C, 8, 128)
+    return a.reshape(nb, _SUB, _LANE, c).transpose(0, 3, 1, 2)
+
+
+def _from_tiles(t, b, tail):
+    """(nb, C, 8, 128) -> (b,) + tail with C = prod(tail)."""
+    nb, c = t.shape[0], t.shape[1]
+    out = t.transpose(0, 2, 3, 1).reshape(nb * _TILE_B, c)[:b]
+    return out.reshape((b,) + tail)
+
+
+def _run(call, x, u, tail):
+    xt = _to_tiles(jnp.asarray(x, jnp.float32))
+    ut = _to_tiles(jnp.asarray(u, jnp.float32))
+    out = jax.vmap(call)(xt, ut) if xt.shape[0] > 1 else call(xt[0], ut[0])[None]
+    return _from_tiles(out, x.shape[0], tail)
+
+
+def kuka_qdd_pallas(x, u, ee_type: int = 1, gravity: float = 9.81,
+                    interpret: bool | None = None):
+    """Batched forward dynamics qdd (B, 7), one fused Pallas kernel per 1024-batch tile.
+
+    x: (B, 14); u: (B, 7).  interpret=None auto-selects interpreter mode off-TPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qdd_call, _ = _build(ee_type, float(gravity), bool(interpret))
+    return _run(qdd_call, x, u, (N_JOINTS,))
+
+
+def kuka_qdd_jac_pallas(x, u, ee_type: int = 1, gravity: float = 9.81,
+                        interpret: bool | None = None):
+    """Batched dynamics Jacobian d qdd / d [x; u]: (B, 7, 21), one kernel per tile
+    (the reference's hand-derived dynamicsGradient, dynamics_arm.cuh:2165-2289)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, jac_call = _build(ee_type, float(gravity), bool(interpret))
+    return _run(jac_call, x, u, (N_JOINTS, 3 * N_JOINTS))

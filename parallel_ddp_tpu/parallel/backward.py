@@ -90,23 +90,28 @@ def backward_pass(
         use_d = jnp.logical_and(cfg.m_blocks_f > 1, on_defect)
         p_t = p + jnp.where(use_d, P @ dk, jnp.zeros_like(p))
 
+        # H' = H + [A B]^T P~ [A B] assembled with THREE dots instead of eight
+        # (each batched dot is a separate TPU kernel; the backward scan is the
+        # solve's dominant latency).  Tassa STATE_REG asymmetry (bpHelpers.cuh:
+        # 54-66): x-rows see P, u-rows see P + rho*I — and P_reg@ab = Pab +
+        # rho*ab, so the regularized product is free.
+        Pab = P @ ab                       # (n, n+m)
         if cfg.state_reg:
-            P_reg = P + rho * eye_n
-            PA = P @ A
-            PB = P @ B
-            Hxx = Hk[:n, :n] + A.T @ PA
-            Hxu = Hk[:n, n:] + A.T @ PB
-            Hux = Hk[n:, :n] + B.T @ (P_reg @ A)
-            Huu = Hk[n:, n:] + B.T @ (P_reg @ B)
+            Pab_u = Pab + rho * ab         # P_reg @ [A B]
+            G_x = A.T @ Pab                # (n, n+m)
+            G_u = B.T @ Pab_u              # (m, n+m)
+            Hq = Hk + jnp.concatenate([G_x, G_u], axis=0)
         else:
-            PA = P @ A
-            PB = P @ B
-            Hxx = Hk[:n, :n] + A.T @ PA
-            Hxu = Hk[:n, n:] + A.T @ PB
-            Hux = Hk[n:, :n] + B.T @ PA
-            Huu = Hk[n:, n:] + B.T @ PB + rho * eye_m
-        gx = gk[:n] + A.T @ p_t
-        gu = gk[n:] + B.T @ p_t
+            G = ab.T @ Pab                 # (n+m, n+m)
+            Hq = Hk + G
+            Hq = Hq.at[n:, n:].add(rho * eye_m)
+        Hxx = Hq[:n, :n]
+        Hxu = Hq[:n, n:]
+        Hux = Hq[n:, :n]
+        Huu = Hq[n:, n:]
+        gq = gk + ab.T @ p_t
+        gx = gq[:n]
+        gu = gq[n:]
 
         # PD test + solve via fully-unrolled Cholesky (ops/linalg.py — the
         # reference's Gauss-Jordan + pivot test, bpHelpers.cuh:96-204, in the
@@ -121,15 +126,20 @@ def backward_pass(
         duk = sol[:, n]
 
         if cfg.state_reg:
-            KtHuu = Kk.T @ Huu
-            P_new = Hxx + KtHuu @ Kk - Hxu @ Kk - Kk.T @ Hux
-            p_new = gx + KtHuu @ duk - Hxu @ duk - Kk.T @ gu
+            # Huu @ sol = rhs, so sol^T @ rhs = sol^T Huu sol: one dot yields
+            # [K^T Huu K | K^T Huu du; ...] and K^T@[Hux|gu] comes with it
+            StZ = sol.T @ rhs              # (n+1, n+1): sol^T Huu sol
+            HxuS = Hxu @ sol               # (n, n+1): [Hxu K | Hxu du]
+            P_new = Hxx + StZ[:n, :n] - HxuS[:, :n] - (sol[:, :n].T @ Hux)
+            p_new = gx + StZ[:n, n] - HxuS[:, n] - sol[:, :n].T @ gu
         else:
-            P_new = Hxx - Hxu @ Kk
-            p_new = gx - Hxu @ duk
+            HxuS = Hxu @ sol
+            P_new = Hxx - HxuS[:, :n]
+            p_new = gx - HxuS[:, n]
 
-        ApBKk = A - B @ Kk
-        Bduk = B @ duk
+        BS = B @ sol                        # (n, n+1): [B K | B du] in one dot
+        ApBKk = A - BS[:, :n]
+        Bduk = BS[:, n]
 
         # terminal "step" (k == N-1, final block only): emit the seed untouched
         zero_K = jnp.zeros_like(Kk)
@@ -153,8 +163,11 @@ def backward_pass(
         """Serial sweep of one block, k descending."""
         # scan over reversed step order
         xs = (ab_b[::-1], H_b[::-1], g_b[::-1], d_b[::-1], k_b[::-1])
+        # unroll: fewer loop-boundary kernels; the block length is short (Nb =
+        # N/M_BLOCKS_B = 16 at the WAFR config) and each step is tiny, so loop
+        # overhead is a large fraction of the backward pass's wall time
         (_, _), outs = lax.scan(
-            lambda c, i: step(rho, c, i), (seed_P, seed_p), xs
+            lambda c, i: step(rho, c, i), (seed_P, seed_p), xs, unroll=4
         )
         # un-reverse to ascending k
         return jax.tree_util.tree_map(lambda a: a[::-1], outs)

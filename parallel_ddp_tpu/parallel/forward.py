@@ -122,7 +122,9 @@ def multiple_shooting_rollout(
             x_next = jnp.where(skip, x_cur, x_next)
             return x_next, (x_next, u_new)
 
-        _, (x_next_s, u_new_s) = lax.scan(body, x0, (u_b, K_b, du_b, xp_b, k_b))
+        _, (x_next_s, u_new_s) = lax.scan(
+            body, x0, (u_b, K_b, du_b, xp_b, k_b), unroll=4
+        )
         return x_next_s, u_new_s  # (Nf, n), (Nf, m)
 
     # vmap over blocks, then alphas

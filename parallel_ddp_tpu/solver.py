@@ -21,7 +21,11 @@ from jax import lax
 from parallel_ddp_tpu.config import CostWeights, SolveOutput, SolverConfig
 from parallel_ddp_tpu.costs.base import CostModel
 from parallel_ddp_tpu.models.base import Plant
-from parallel_ddp_tpu.ops.integrators import make_step, make_step_jacobian
+from parallel_ddp_tpu.ops.integrators import (
+    make_step,
+    make_step_jacobian,
+    make_step_jacobian_fd,
+)
 from parallel_ddp_tpu.parallel.backward import backward_pass
 from parallel_ddp_tpu.parallel.forward import forward_pass, line_search
 
@@ -100,7 +104,10 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
                   initial_rollout=False, ignore_first_defect=False) -> SolveOutput.
     """
     step_fn = make_step(plant, cfg.integrator, cfg.dt)
-    step_jac = make_step_jacobian(plant, cfg.integrator, cfg.dt)
+    if cfg.use_finite_diff:
+        step_jac = make_step_jacobian_fd(plant, cfg.integrator, cfg.dt, cfg.fd_eps)
+    else:
+        step_jac = make_step_jacobian(plant, cfg.integrator, cfg.dt)
     alphas = cfg.alphas()
 
     def solve(

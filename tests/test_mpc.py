@@ -64,3 +64,26 @@ def test_mpc_failure_reset_counter():
     st_bad, info = ctrl.step(st, x_bad, 0.0, goal)
     assert not bool(info.accepted)
     assert int(st_bad.fails) == 1
+
+
+def test_device_resident_loop_pendulum():
+    """Fused controller+plant loop (device_loop.py): perturbed upright pendulum
+    must be pulled back with zero host round-trips."""
+    import jax
+
+    from parallel_ddp_tpu.mpc.device_loop import make_device_mpc_loop
+
+    ctrl = _controller(n=32, total_time=1.0, iters=3)
+    loop = make_device_mpc_loop(ctrl, sim_rate_hz=200.0, control_period_s=0.05,
+                                sim_integrator=3)
+    goal = jnp.asarray([np.pi, 0.0])
+    x0 = np.asarray([np.pi - 0.4, 0.3], np.float32)
+    st = ctrl.init_state(x0, t0=0.0, goal=goal)
+    t_steps = 30  # 1.5 s
+    goals = jnp.tile(goal[None], (t_steps, 1))
+    res = loop(st, x0, 0.0, goals)
+    jax.block_until_ready(res.x)
+    xf = np.asarray(res.x[-1])
+    assert abs(xf[0] - np.pi) < 0.1, f"did not stabilize: {xf}"
+    assert abs(xf[1]) < 0.5
+    assert np.asarray(res.ok)[5:].mean() > 0.8
