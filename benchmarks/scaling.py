@@ -43,21 +43,35 @@ def main():
     n = cfg.num_time_steps
     goal1 = ee_goal([0.0, -0.55, 0.35])
 
+    # force synchronous dispatch + measure the tunnel RTT (see bench.py)
+    triv = jax.jit(lambda z: z + 1.0)
+    z = jnp.zeros((8, 128), jnp.float32)
+    _ = float(triv(z)[0, 0])
+
+    def rtt():
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            jax.block_until_ready(triv(z))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
     results = {}
     for b in [int(s) for s in args.batches.split(",")]:
         solver_b = make_batched_solver(prob.plant, prob.cost, cfg, mesh)
         x0s = jnp.asarray(rng.normal(0, 0.3, (b, n, 14)).astype(np.float32))
         u0s = jnp.asarray(rng.normal(0, 1.0, (b, n, 7)).astype(np.float32))
-        goals = {k: jnp.tile(v[None], (b, 1)) for k, v in goal1.items()}
+        goals = {k: jnp.tile(np.asarray(v)[None], (b, 1)) for k, v in goal1.items()}
         out = solver_b(x0s, u0s, goals)
         jax.block_until_ready(out.J)
+        r = rtt()
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             out = solver_b(x0s, u0s, goals)
             jax.block_until_ready(out.J)
             ts.append(time.perf_counter() - t0)
-        med = float(np.median(ts))
+        med = max(float(np.median(ts)) - r, 1e-9)
         results[b] = {
             "solves_per_s": round(b / med, 1),
             "batch_wall_ms": round(med * 1e3, 3),

@@ -1,0 +1,107 @@
+"""Rigid-body dynamics micro-benchmark — test/timeDyn.cu analog.
+
+The reference times 100k random Kuka dynamics evaluations and cross-checks
+CPU vs GPU results (timeDyn.cu:15,94-156).  Here: batched evaluations of the
+three implementations — spatial-algebra oracle (rbd.py), scalar-channel SoA
+(soa.py), fused Pallas kernel (pallas_rbd.py) — cross-checked against each
+other and timed with the synchronous RTT-corrected protocol (see bench.py).
+
+Run: python benchmarks/timedyn.py [--batch 8192]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--reps", type=int, default=15)
+    ap.add_argument("--scan", type=int, default=32,
+                    help="evaluations chained per dispatch (amortizes RTT)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from parallel_ddp_tpu.models.kuka.rbd import KukaRBD
+    from parallel_ddp_tpu.models.kuka.soa import KukaSoA
+    from parallel_ddp_tpu.ops.pallas_rbd import kuka_qdd_jac_pallas, kuka_qdd_pallas
+
+    b = args.batch
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1.0, (b, 14)).astype(np.float32))
+    u = jnp.asarray(rng.normal(0, 50.0, (b, 7)).astype(np.float32))
+    soa = KukaSoA()
+    rbd = KukaRBD()
+
+    # correctness cross-check first (transfers also flip us into sync mode)
+    q_soa = np.asarray(soa.forward_dynamics(x, u))
+    q_rbd = np.asarray(jax.vmap(rbd.forward_dynamics)(x[:64], u[:64]))
+    q_pal = np.asarray(kuka_qdd_pallas(x, u))
+    err_soa_rbd = float(np.abs(q_soa[:64] - q_rbd).max())
+    err_pal_soa = float(np.abs(q_pal - q_soa).max())
+
+    triv = jax.jit(lambda z: z + 1.0)
+    z = jnp.zeros((8, 128), jnp.float32)
+
+    def rtt():
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            jax.block_until_ready(triv(z))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    def bench(fn, label):
+        k = args.scan
+
+        @jax.jit
+        def prog(x, u):
+            def body(c, i):
+                out = fn(c + i * 1e-9, u)
+                return c + jnp.sum(out) * 1e-12, None
+            c, _ = lax.scan(body, x, jnp.arange(k, dtype=jnp.float32))
+            return c
+
+        r = prog(x, u)
+        jax.block_until_ready(r)
+        rr = rtt()
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(prog(x, u))
+            ts.append(time.perf_counter() - t0)
+        per_eval_ns = (float(np.median(ts)) - rr) / k / b * 1e9
+        print(f"{label}: {per_eval_ns:.1f} ns/eval "
+              f"({b} batch, {k}-chained)", file=sys.stderr, flush=True)
+        return per_eval_ns
+
+    t_soa = bench(soa.forward_dynamics, "soa qdd")
+    t_pal = bench(lambda xx, uu: kuka_qdd_pallas(xx, uu), "pallas qdd")
+    t_jac = bench(lambda xx, uu: kuka_qdd_jac_pallas(xx, uu).reshape(b, -1)[:, :7],
+                  "pallas qdd jacobian")
+
+    print(json.dumps({
+        "metric": "kuka_rbd_ns_per_eval",
+        "value": round(min(t_soa, t_pal), 2),
+        "unit": f"ns/eval (batch {b})",
+        "extra": {
+            "soa_ns": round(t_soa, 1),
+            "pallas_ns": round(t_pal, 1),
+            "pallas_jac_ns": round(t_jac, 1),
+            "max_err_soa_vs_spatial": err_soa_rbd,
+            "max_err_pallas_vs_soa": err_pal_soa,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
