@@ -87,3 +87,23 @@ def test_device_resident_loop_pendulum():
     assert abs(xf[0] - np.pi) < 0.1, f"did not stabilize: {xf}"
     assert abs(xf[1]) < 0.5
     assert np.asarray(res.ok)[5:].mean() > 0.8
+
+
+def test_mpc_state_checkpoint_roundtrip(tmp_path):
+    """Warm-started MPC state survives a save/load cycle (checkpoint/resume)."""
+    from parallel_ddp_tpu.utils.checkpoint import load_mpc_state, save_mpc_state
+
+    ctrl = _controller()
+    goal = jnp.asarray([np.pi, 0.0])
+    x = np.asarray([np.pi - 0.2, 0.1], np.float32)
+    st = ctrl.init_state(x, t0=1.5, goal=goal)
+    path = str(tmp_path / "mpc_state.npz")
+    save_mpc_state(path, st)
+    st2 = load_mpc_state(path)
+    np.testing.assert_array_equal(np.asarray(st.x), np.asarray(st2.x))
+    np.testing.assert_array_equal(np.asarray(st.K), np.asarray(st2.K))
+    assert float(st2.t0) == float(st.t0)
+    # the restored state drives the controller identically
+    a, _ = ctrl.step(st, x, 1.6, goal)
+    b, _ = ctrl.step(st2, x, 1.6, goal)
+    np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u), atol=0)
