@@ -23,26 +23,33 @@ import os as _os
 
 import jax as _jax
 
-# Every matrix in this workload is tiny (<= 14x14 state blocks, 7x7 mass
-# matrices): on TPU the MXU's default one-pass-bf16 fp32 matmul (~8e-3 relative
-# error) destroys the Riccati/RBD numerics that iLQR convergence semantics
-# depend on, while costing nothing at these dims — throughput comes from
-# batching over (alpha, shooting-block, scenario) axes, not from bf16.
-if _jax.config.jax_default_matmul_precision is None:
-    _jax.config.update("jax_default_matmul_precision", "highest")
+# NOTE: importing this package adjusts two PROCESS-GLOBAL JAX settings (matmul
+# precision, compilation cache).  Both are skipped if the user configured them
+# first, and both can be disabled wholesale with PARALLEL_DDP_TPU_NO_CONFIG=1.
+if _os.environ.get("PARALLEL_DDP_TPU_NO_CONFIG", "0") != "1":
+    # Every matrix in this workload is tiny (<= 14x14 state blocks, 7x7 mass
+    # matrices): on TPU the MXU's default one-pass-bf16 fp32 matmul (~8e-3
+    # relative error) destroys the Riccati/RBD numerics that iLQR convergence
+    # semantics depend on, while costing nothing at these dims — throughput
+    # comes from batching over (alpha, shooting-block, scenario) axes, not from
+    # bf16.  (The solver entries also scope this locally; the global default
+    # protects user-written rollout/cost code composed with ours.)
+    if _jax.config.jax_default_matmul_precision is None:
+        _jax.config.update("jax_default_matmul_precision", "highest")
 
-# The unrolled scalar-channel dynamics (models/kuka/soa.py) trade compile time
-# for a ~500x execution speedup; a full solver program takes ~10 min to build.
-# Cache compiled executables across processes so that cost is paid once.
-if not _jax.config.jax_compilation_cache_dir:
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get(
-            "PARALLEL_DDP_TPU_CACHE",
-            _os.path.expanduser("~/.cache/parallel_ddp_tpu/xla"),
-        ),
-    )
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # The unrolled scalar-channel dynamics (models/kuka/soa.py) trade compile
+    # time for a ~500x execution speedup; a full solver program takes ~10 min
+    # to build.  Cache compiled executables across processes so that cost is
+    # paid once (written under ~/.cache, override with PARALLEL_DDP_TPU_CACHE).
+    if not _jax.config.jax_compilation_cache_dir:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "PARALLEL_DDP_TPU_CACHE",
+                _os.path.expanduser("~/.cache/parallel_ddp_tpu/xla"),
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from parallel_ddp_tpu.config import (
     SolverConfig,

@@ -67,8 +67,16 @@ def ee_cost(
     n_state = 2 * n_pos
     dee = jax.jacfwd(ee_pos)  # (6, n_pos)
 
-    def _ee_weights(k, w: CostWeights):
-        terminal = k >= nf - final_cost_shift
+    def _ee_weights(k, w: CostWeights, goal=None):
+        # final-cost-shift (USE_COST_SHIFT, cost_arm.cuh:206-222): terminal EE
+        # weights switch on `cost_shift` steps before the horizon end.  A LIVE
+        # (traced) value in the goal pytree overrides the static default, so
+        # lcmt_solver_params-style useCostShift updates apply per-solve without
+        # recompiling (LCMHelpers.cuh:213).
+        shift = final_cost_shift
+        if isinstance(goal, dict) and "cost_shift" in goal:
+            shift = goal["cost_shift"]
+        terminal = k >= nf - shift
         w_pos = jnp.where(
             terminal,
             jnp.concatenate([jnp.full((3,), w.qf_ee1), jnp.full((3,), w.qf_ee2)]),
@@ -85,7 +93,7 @@ def ee_cost(
         q, qd = x[:n_pos], x[n_pos:]
         ee = ee_pos(q)
         delta = ee - goal["ee_goal"]
-        w_pos, w_vel = _ee_weights(k, w)
+        w_pos, w_vel = _ee_weights(k, w, goal)
         quad = jnp.sum(w_pos * delta * delta)
         if use_ee_vel:
             jac = dee(q)

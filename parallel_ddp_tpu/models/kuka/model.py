@@ -16,24 +16,40 @@ from parallel_ddp_tpu.models.kuka.soa import KukaSoA
 class KukaParams:
     ee_type: int = 1
     gravity: float = 9.81  # 0.0 reproduces MPC_MODE gravity-comp (dynamics_arm.cuh:42-46)
-    # scalar-channel (structure-of-arrays) dynamics core: identical math to the
-    # spatial-algebra rbd.py (cross-validated in tests) but fuses into ~10x
-    # fewer XLA kernels — the solve is kernel-launch-bound on TPU (soa.py docstring)
-    soa: bool = True
+    # Dynamics core selection — identical math (cross-validated in tests),
+    # different trace structure:
+    #   "soa"  scalar-channel unrolled core (soa.py): fuses into ~10x fewer XLA
+    #          kernels — the solve is kernel-LAUNCH-bound on TPU, so this is
+    #          the TPU production core.  Its jacfwd graph is pathological for
+    #          the XLA *CPU* pipeline (one N=8 solve: 482 s compile; a single
+    #          step Jacobian alone >570 s measured).
+    #   "rbd"  spatial-algebra vector core (rbd.py): small jnp matmuls; CPU
+    #          step-Jacobian compiles in ~11 s.  The CPU/test/dryrun core.
+    #   "auto" soa on TPU, rbd elsewhere.
+    core: str = "auto"
+
+    def resolved_core(self) -> str:
+        if self.core != "auto":
+            return self.core
+        import jax
+
+        return "soa" if jax.default_backend() == "tpu" else "rbd"
 
 
 @functools.lru_cache(maxsize=8)
-def _rbd(ee_type: int, gravity: float, soa: bool):
-    return (KukaSoA if soa else KukaRBD)(ee_type=ee_type, gravity=gravity)
+def _rbd(ee_type: int, gravity: float, core: str):
+    return (KukaSoA if core == "soa" else KukaRBD)(ee_type=ee_type, gravity=gravity)
 
 
-def kuka_params(mpc_mode: bool = False, ee_type: int = 1) -> KukaParams:
-    return KukaParams(ee_type=ee_type, gravity=0.0 if mpc_mode else 9.81)
+def kuka_params(mpc_mode: bool = False, ee_type: int = 1,
+                core: str = "auto") -> KukaParams:
+    return KukaParams(ee_type=ee_type, gravity=0.0 if mpc_mode else 9.81, core=core)
 
 
 def kuka(params: KukaParams | None = None) -> Plant:
     params = params or KukaParams()
-    rbd = _rbd(params.ee_type, params.gravity, params.soa)
+    core = params.resolved_core()
+    rbd = _rbd(params.ee_type, params.gravity, core)
 
     def dynamics(x, u):
         return rbd.forward_dynamics(x, u)
@@ -45,7 +61,7 @@ def kuka(params: KukaParams | None = None) -> Plant:
         return rbd.ee_velocity(x)
 
     return Plant(
-        name=f"kuka_ee{params.ee_type}_g{params.gravity:g}{'_soa' if params.soa else ''}",
+        name=f"kuka_ee{params.ee_type}_g{params.gravity:g}_{core}",
         n_pos=7,
         n_ctrl=7,
         dynamics=dynamics,

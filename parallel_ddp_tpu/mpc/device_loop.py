@@ -79,7 +79,10 @@ def make_device_mpc_loop(
     def one_control_step(w, carry, goal):
         st, x_sim, t = carry
 
-        st, info = ctrl._mpc_step(st, x_sim, t, goal, w)
+        st, info = ctrl._mpc_step(
+            st, x_sim, t, goal, w,
+            jnp.asarray(ctrl.mpc.max_iters_per_solve, jnp.int32),
+        )
 
         def substep(c, _):
             x, tt = c

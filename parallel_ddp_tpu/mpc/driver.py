@@ -107,6 +107,12 @@ class MPCController:
         self._step_fn = make_step(plant, cfg.integrator, cfg.dt)
         self._jit_step = jax.jit(self._mpc_step)
         self._init_solvers: dict = {}  # warmup_iters -> compiled solver
+        # wall-clock budget model: measured per-iteration latency (ms).  The
+        # reference checks gettimeofday between phases (USE_MAX_SOLVER_TIME,
+        # MPCHelpers.cuh:916-1001); a compiled TPU loop can't read the clock,
+        # so a time budget becomes a traced iteration cap time/per_iter —
+        # see step(time_limit_ms=...).  Calibrated from live solves.
+        self.per_iter_ms: Optional[float] = None
 
     def init_state(self, x_actual, t0: float = 0.0, goal=None,
                    weights: Optional[CostWeights] = None,
@@ -158,9 +164,21 @@ class MPCController:
             d = _shift(st.d, s)
             b0 = self.cfg.n_blocks_f - 1
             d = d.at[b0].set(self._step_fn(x_last, u[b0]) - x[b0 + 1])
+            # boundaries that landed in the ZOH tail (k + s >= N-1) repeat the
+            # final state on both sides, so the shifted defect reads zero while
+            # the true defect there is step(x[N-1], u[N-1]) - x[N-1] (the tail
+            # state is generally not an equilibrium); understating it would let
+            # the line search accept dynamically infeasible plans
+            n_steps = self.cfg.num_time_steps
+            d_tail = self._step_fn(x[n_steps - 1], u[n_steps - 1]) - x[n_steps - 1]
+            bidx = (jnp.arange(1, self.cfg.m_blocks_f) * self.cfg.n_blocks_f) - 1
+            in_tail = bidx + s >= n_steps - 1
+            d = d.at[bidx].set(
+                jnp.where(in_tail[:, None], d_tail[None, :], d[bidx])
+            )
         return x, u, k_mat, p_mat, p_vec, d
 
-    def _mpc_step(self, st: MPCState, x_actual, t_now, goal, weights):
+    def _mpc_step(self, st: MPCState, x_actual, t_now, goal, weights, iter_limit):
         dt = self.cfg.dt
         s_f = (t_now - st.t0) / dt
         s = jnp.floor(s_f).astype(jnp.int32)  # MPCHelpers.cuh:875
@@ -176,6 +194,7 @@ class MPCController:
             P0=pm_w, p0=pv_w, d0=d_w,
             initial_rollout=False,
             ignore_first_defect=self.mpc.ignore_defect_online,
+            iter_limit=iter_limit,
         )
         accepted = jnp.any(out.alpha_trace[1:] >= 0)
 
@@ -217,25 +236,47 @@ class MPCController:
         )
         return new_state, info
 
+    def _resolve_iter_limit(self, iter_limit: Optional[int],
+                            time_limit_ms: Optional[float]) -> jnp.ndarray:
+        """Fold the live iterLimit/timeLimit solver params (lcmt_solver_params,
+        LCMHelpers.cuh:213) into one traced iteration cap.  A wall-clock budget
+        maps through the measured per-iteration latency (self.per_iter_ms)."""
+        cap = self.mpc.max_iters_per_solve
+        if iter_limit is not None:
+            cap = min(cap, int(iter_limit))
+        if time_limit_ms is not None and self.per_iter_ms:
+            cap = min(cap, max(1, int(time_limit_ms / self.per_iter_ms)))
+        return jnp.asarray(max(1, cap), jnp.int32)
+
     def warmup(self, st: MPCState, goal, weights: Optional[CostWeights] = None):
         """Force-compile the MPC step before entering a real-time loop (a live
         loop that compiles on its first solve runs the plant open-loop for the
         whole compile time)."""
         w = weights if weights is not None else CostWeights()
         out = self._jit_step(
-            st, st.x[0], st.t0, goal, w
+            st, st.x[0], st.t0, goal, w,
+            jnp.asarray(self.mpc.max_iters_per_solve, jnp.int32),
         )
         jax.block_until_ready(out[0].x)
 
+    def calibrate_timing(self, solve_ms: float, iters: int):
+        """Record a measured (solve wall time, iterations executed) pair to
+        build the per-iteration latency model used by time_limit_ms budgets."""
+        if iters > 0:
+            self.per_iter_ms = solve_ms / iters
+
     def step(self, st: MPCState, x_actual, t_now, goal,
-             weights: Optional[CostWeights] = None):
+             weights: Optional[CostWeights] = None,
+             iter_limit: Optional[int] = None,
+             time_limit_ms: Optional[float] = None):
         """One MPC re-solve: shift + warm start + budgeted solve.
 
-        x_actual: measured state; t_now: plant clock (s); goal/weights may
-        change every call without recompiling (runtime goal and cost updates —
-        the reference's GOAL/COST_PARAMS channels, LCMHelpers.cuh:204-214)."""
+        x_actual: measured state; t_now: plant clock (s); goal/weights/
+        iter_limit/time_limit_ms may change every call without recompiling
+        (the reference's GOAL/COST_PARAMS/SOLVER_PARAMS channels,
+        LCMHelpers.cuh:204-214)."""
         w = weights if weights is not None else CostWeights()
         return self._jit_step(
             st, jnp.asarray(x_actual, jnp.float32), jnp.asarray(t_now, jnp.float32),
-            goal, w,
+            goal, w, self._resolve_iter_limit(iter_limit, time_limit_ms),
         )

@@ -49,33 +49,14 @@ class BackwardPassResult(NamedTuple):
     drho: jnp.ndarray
 
 
-def backward_pass(
-    cfg: SolverConfig,
-    AB: jnp.ndarray,    # (N-1, n, n+m)
-    H: jnp.ndarray,     # (N, n+m, n+m)
-    g: jnp.ndarray,     # (N, n+m)
-    Pp: jnp.ndarray,    # (N, n, n) previous-iteration CTG (block boundary seeds)
-    pp: jnp.ndarray,    # (N, n)
-    d: jnp.ndarray,     # (N, n) defects
-    x: jnp.ndarray,     # (N, n) current trajectory
-    xp2: jnp.ndarray,   # (N, n) trajectory at which Pp/pp were computed
-    rho0: jnp.ndarray,
-    drho0: jnp.ndarray,
-) -> BackwardPassResult:
-    """Full backward pass with the rho-retry loop (backwardPassGPU, bpHelpers.cuh:483-517)."""
-    N = cfg.num_time_steps
-    Mb = cfg.m_blocks_b
-    Nb = cfg.n_blocks_b
-    n = x.shape[-1]
-    m = AB.shape[-1] - n
-    dtype = x.dtype
-    nf = N - 1
+def make_riccati_step(cfg: SolverConfig, n: int, m: int, dtype):
+    """Build the per-step Riccati/DDP recursion (bpHelpers.cuh:37-334) shared by
+    the single-program backward pass below and the cross-chip 'sp'-sharded one
+    (parallel/sp.py).  Returns step(rho, (P, p), (ab, Hk, gk, dk, k)) ->
+    ((P', p'), per-step outputs)."""
+    nf = cfg.num_time_steps - 1
     n_blocks_f = cfg.n_blocks_f
-    eye_n = jnp.eye(n, dtype=dtype)
     eye_m = jnp.eye(m, dtype=dtype)
-
-    # pad AB with a zero row at k = N-1 so every block has Nb uniform steps
-    AB_pad = jnp.concatenate([AB, jnp.zeros((1, n, n + m), dtype)], axis=0)
 
     def step(rho, carry, inputs):
         P, p = carry
@@ -159,18 +140,50 @@ def backward_pass(
         # V emitted at index k is the CTG at step k; carry V for step k-1
         return (P_out, p_out), (P_out, p_out, Kk, duk, ApBKk, Bduk, dj, fail_k)
 
-    def run_block(rho, seed_P, seed_p, ab_b, H_b, g_b, d_b, k_b):
-        """Serial sweep of one block, k descending."""
-        # scan over reversed step order
-        xs = (ab_b[::-1], H_b[::-1], g_b[::-1], d_b[::-1], k_b[::-1])
-        # unroll: fewer loop-boundary kernels; the block length is short (Nb =
-        # N/M_BLOCKS_B = 16 at the WAFR config) and each step is tiny, so loop
-        # overhead is a large fraction of the backward pass's wall time
-        (_, _), outs = lax.scan(
-            lambda c, i: step(rho, c, i), (seed_P, seed_p), xs, unroll=4
-        )
-        # un-reverse to ascending k
-        return jax.tree_util.tree_map(lambda a: a[::-1], outs)
+    return step
+
+
+def run_block(step, rho, seed_P, seed_p, ab_b, H_b, g_b, d_b, k_b):
+    """Serial Riccati sweep of one time block, k descending (the in-kernel time
+    recursion of backPassKern, bpHelpers.cuh:369-418)."""
+    # scan over reversed step order
+    xs = (ab_b[::-1], H_b[::-1], g_b[::-1], d_b[::-1], k_b[::-1])
+    # unroll: fewer loop-boundary kernels; the block length is short (Nb =
+    # N/M_BLOCKS_B = 16 at the WAFR config) and each step is tiny, so loop
+    # overhead is a large fraction of the backward pass's wall time
+    (_, _), outs = lax.scan(
+        lambda c, i: step(rho, c, i), (seed_P, seed_p), xs, unroll=4
+    )
+    # un-reverse to ascending k
+    return jax.tree_util.tree_map(lambda a: a[::-1], outs)
+
+
+def backward_pass(
+    cfg: SolverConfig,
+    AB: jnp.ndarray,    # (N-1, n, n+m)
+    H: jnp.ndarray,     # (N, n+m, n+m)
+    g: jnp.ndarray,     # (N, n+m)
+    Pp: jnp.ndarray,    # (N, n, n) previous-iteration CTG (block boundary seeds)
+    pp: jnp.ndarray,    # (N, n)
+    d: jnp.ndarray,     # (N, n) defects
+    x: jnp.ndarray,     # (N, n) current trajectory
+    xp2: jnp.ndarray,   # (N, n) trajectory at which Pp/pp were computed
+    rho0: jnp.ndarray,
+    drho0: jnp.ndarray,
+) -> BackwardPassResult:
+    """Full backward pass with the rho-retry loop (backwardPassGPU, bpHelpers.cuh:483-517)."""
+    N = cfg.num_time_steps
+    Mb = cfg.m_blocks_b
+    Nb = cfg.n_blocks_b
+    n = x.shape[-1]
+    m = AB.shape[-1] - n
+    dtype = x.dtype
+    nf = N - 1
+
+    # pad AB with a zero row at k = N-1 so every block has Nb uniform steps
+    AB_pad = jnp.concatenate([AB, jnp.zeros((1, n, n + m), dtype)], axis=0)
+
+    step = make_riccati_step(cfg, n, m, dtype)
 
     # block seeds
     ks_last = (jnp.arange(Mb) + 1) * Nb - 1          # last step index of each block
@@ -203,9 +216,11 @@ def backward_pass(
     k_blk = jnp.arange(N).reshape(Mb, Nb)
 
     def attempt(rho):
-        outs = jax.vmap(run_block, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
-            rho, seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk
-        )
+        outs = jax.vmap(
+            lambda sP, sp_, ab, Hb, gb, db, kb: run_block(
+                step, rho, sP, sp_, ab, Hb, gb, db, kb
+            )
+        )(seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk)
         P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o = outs
         flat = lambda a: a.reshape((N,) + a.shape[2:])
         return (

@@ -265,7 +265,7 @@ def line_search(
         z=jnp.where(accept, z[idx], jnp.zeros_like(prevJ)),
         max_defect=sel_d,
         ignore_defect=new_ignore,
-        best_dJ_frac=jnp.max(cdJ) / prevJ,
+        best_dJ_frac=jnp.max(cdJ) / jnp.maximum(prevJ, jnp.finfo(J.dtype).tiny),
         any_feasible=jnp.any(j_ok & d_ok),
     )
 

@@ -64,9 +64,9 @@ def quadrotor_task(num_time_steps=128, total_time=4.0, m_blocks=4, num_alpha=16)
 
 
 def kuka_joint(num_time_steps=64, total_time=0.5, m_blocks=4, num_alpha=16,
-               integrator=1, mpc_mode=False):
+               integrator=1, mpc_mode=False, core="auto"):
     """Kuka N=64 joint-space problem — the WAFR benchmark scale (config.cuh:43-58)."""
-    plant = kuka(kuka_params(mpc_mode=mpc_mode))
+    plant = kuka(kuka_params(mpc_mode=mpc_mode, core=core))
     cfg = SolverConfig(
         num_time_steps=num_time_steps, total_time=total_time,
         m_blocks_b=m_blocks, m_blocks_f=m_blocks, num_alpha=num_alpha,
@@ -77,10 +77,13 @@ def kuka_joint(num_time_steps=64, total_time=0.5, m_blocks=4, num_alpha=16,
 
 def kuka_ee(num_time_steps=64, total_time=0.5, m_blocks=4, num_alpha=16,
             integrator=1, mpc_mode=True, use_smooth_abs=False, use_limits=False,
-            use_ee_vel=False):
+            use_ee_vel=False, core="auto"):
     """Kuka EE-pose tracking problem (the MPC figure-8 config; EE_COST=1,
-    examples/LCM_fig8_examples.cu)."""
-    plant = kuka(kuka_params(mpc_mode=mpc_mode))
+    examples/LCM_fig8_examples.cu).
+
+    `core` selects the dynamics trace structure ("auto": the scalar-channel TPU
+    core on TPU, the vector core elsewhere — see models/kuka/model.py)."""
+    plant = kuka(kuka_params(mpc_mode=mpc_mode, core=core))
     cfg = SolverConfig(
         num_time_steps=num_time_steps, total_time=total_time,
         m_blocks_b=m_blocks, m_blocks_f=m_blocks, num_alpha=num_alpha,

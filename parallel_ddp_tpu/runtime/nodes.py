@@ -46,6 +46,10 @@ class MPCLoopNode:
         self.state: Optional[MPCState] = None
         self.solve_count = 0
         self.fail_count = 0
+        # live solver params (lcmt_solver_params, applied per-solve without
+        # recompile: iterLimit/timeLimit as a traced iteration cap,
+        # useCostShift through the goal pytree — LCMHelpers.cuh:204-214,213)
+        self.solver_params = msg.SolverParams()
         for ch in (Channels.STATUS, Channels.GOAL, Channels.COST_PARAMS,
                    Channels.SOLVER_PARAMS):
             bus.subscribe(ch)
@@ -60,8 +64,17 @@ class MPCLoopNode:
         m = self.bus.poll_new(Channels.SOLVER_PARAMS)
         if m:
             sp = msg.SolverParams.unpack(m[0])
+            self.solver_params = sp
             if sp.clear_vars and self.state is not None:
                 self.state = None  # force re-init on next status
+
+    def _goal_pytree(self):
+        """User goal pytree + the live cost-shift (dict goals only)."""
+        goal_pt = self.goal_to_pytree(self.goal)
+        if isinstance(goal_pt, dict) and self.solver_params.cost_shift:
+            goal_pt = dict(goal_pt)
+            goal_pt["cost_shift"] = np.int32(self.solver_params.cost_shift)
+        return goal_pt
 
     def run(self, stop: threading.Event, poll_s: float = 0.0005):
         while not stop.is_set():

@@ -120,6 +120,7 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
         d0=None,
         initial_rollout: bool = False,
         ignore_first_defect: bool = False,
+        iter_limit=None,
     ) -> SolveOutput:
         # The Riccati recursion is severely ill-conditioned (min eig(Huu) ~ R =
         # 1e-4 vs entries ~1e3 on the Kuka): TPU MXU's default bf16 matmul
@@ -128,11 +129,12 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
         with jax.default_matmul_precision("highest"):
             return _solve_impl(
                 x0, u0, goal, weights, P0, p0, d0, initial_rollout,
-                ignore_first_defect,
+                ignore_first_defect, iter_limit,
             )
 
     def _solve_impl(
-        x0, u0, goal, weights, P0, p0, d0, initial_rollout, ignore_first_defect
+        x0, u0, goal, weights, P0, p0, d0, initial_rollout, ignore_first_defect,
+        iter_limit,
     ) -> SolveOutput:
         w = weights if weights is not None else CostWeights()
         N = cfg.num_time_steps
@@ -142,6 +144,16 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
         u0 = jnp.asarray(u0, dtype)
 
         stage = lambda xk, uk, k: cost.stage(xk, uk, k, goal, w)
+
+        # live iteration budget (lcmt_solver_params iterLimit applied per-solve
+        # without recompiling, LCMHelpers.cuh:213; cfg.max_iter stays the static
+        # trace bound that sizes the J/alpha traces)
+        if iter_limit is None:
+            it_cap = jnp.asarray(cfg.max_iter, jnp.int32)
+        else:
+            it_cap = jnp.clip(
+                jnp.asarray(iter_limit, jnp.int32), 1, cfg.max_iter
+            )
 
         if initial_rollout:
             x_init, d_init = open_loop_rollout(cfg, step_fn, x0, u0)
@@ -233,11 +245,15 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
 
             # "converged": an accepted step improved by less than tol, OR a
             # rejected step where even the best candidate had nothing to gain —
-            # the warm-started MPC solve distinguishes this from real failure
+            # the warm-started MPC solve distinguishes this from real failure.
+            # The rejected branch is bounded from BELOW too: a strongly negative
+            # best_dJ_frac (every candidate increased cost — possibly J -> inf)
+            # is a genuine failure, not convergence, and must feed the MPC
+            # failure counter (SOLVES_TO_RESET, MPCHelpers.cuh:610).
             converged = jnp.where(
                 accept,
                 dJ_frac < cfg.tol_cost,
-                ls.best_dJ_frac < cfg.tol_cost,
+                jnp.abs(ls.best_dJ_frac) < cfg.tol_cost,
             )
 
             done = jnp.logical_and(accept, dJ_frac < cfg.tol_cost)
@@ -246,7 +262,7 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
                     done, jnp.logical_and(~accept, rho_new >= cfg.rho_max)
                 )
             done = jnp.logical_or(done, bp_dead)
-            done = jnp.logical_or(done, c.it >= cfg.max_iter)
+            done = jnp.logical_or(done, c.it >= it_cap)
 
             # NEXT ITERATION SETUP (runs accept or reject, like the reference:
             # nextIterationSetupGPU recomputes at the restored trajectory too) ---

@@ -101,6 +101,7 @@ def test_mpc_step_no_device_constants():
         t0=jnp.asarray(0.0), fails=jnp.asarray(0, jnp.int32),
     )
     jaxpr = jax.make_jaxpr(ctrl._mpc_step)(
-        st, jnp.zeros(2), jnp.asarray(0.1), jnp.zeros(2), CostWeights()
+        st, jnp.zeros(2), jnp.asarray(0.1), jnp.zeros(2), CostWeights(),
+        jnp.asarray(2, jnp.int32)
     )
     _assert_clean(jaxpr, "MPC step")
