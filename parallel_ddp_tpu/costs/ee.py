@@ -89,6 +89,13 @@ def ee_cost(
         )
         return w_pos, w_vel
 
+    def _vel_goal(goal):
+        """EE-velocity goal (zero unless a twist goal provides one — the fixed
+        version of handleGoalEE's slot-reuse, LCMHelpers.cuh:195-197)."""
+        if isinstance(goal, dict) and "ee_vel_goal" in goal:
+            return goal["ee_vel_goal"]
+        return 0.0
+
     def _ee_terms(x, k, goal, w):
         q, qd = x[:n_pos], x[n_pos:]
         ee = ee_pos(q)
@@ -97,7 +104,7 @@ def ee_cost(
         quad = jnp.sum(w_pos * delta * delta)
         if use_ee_vel:
             jac = dee(q)
-            eev = jac @ qd
+            eev = jac @ qd - _vel_goal(goal)
             quad = quad + jnp.sum(w_vel * eev * eev)
         return 0.5 * quad, delta, w_pos, w_vel
 
@@ -144,7 +151,7 @@ def ee_cost(
         g_ee_q = (w_pos * delta) @ jac  # (n_pos,)
         g_ee_qd = jnp.zeros((n_pos,))
         if use_ee_vel:
-            eev = jac @ qd
+            eev = jac @ qd - _vel_goal(goal)
             # d(eeVel)/dq via jacfwd of q -> dee(q) @ qd, d(eeVel)/dqd = jac
             deev_dq = jax.jacfwd(lambda qq_: dee(qq_) @ qd)(q)  # (6, n_pos)
             g_ee_q = g_ee_q + (w_vel * eev) @ deev_dq

@@ -124,11 +124,24 @@ class Trajectory:
 @_register(4)
 @dataclass
 class Goal:
-    """EE pose goal (6,) or joint-state goal (n_state,); mode 0 = EE, 1 = joint."""
+    """Goal update.  Modes:
+      0 = EE pose: value (6,) [xyz, rpy]           <- lcmt_target_position use
+      1 = joint state: value (n_state,) [q, qd]    <- handleGoalqqd (LCMHelpers.cuh:199)
+      2 = EE twist: value (6,) [xyz, vxyz]         <- handleGoalEE / lcmt_target_twist
+          (LCMHelpers.cuh:195-197).  NOTE the reference memcpys the twist's
+          velocity into the rpy slots of its 6-d eeGoal — with Q_EE2 ~ 1e-6
+          the velocity is effectively ignored.  Here mode 2 keeps position and
+          velocity separate: position -> ee_goal[:3], velocity -> ee_vel_goal
+          (consumed by the EE-velocity cost when USE_EE_VEL_COST weights are on).
+    """
 
     mode: int
     value: np.ndarray
     x_target: Optional[np.ndarray] = None
+
+    MODE_EE_POSE = 0
+    MODE_JOINT = 1
+    MODE_EE_TWIST = 2
 
     def pack(self) -> bytes:
         xt = self.x_target if self.x_target is not None else np.zeros(0, np.float32)
@@ -172,6 +185,52 @@ class SolverParams:
         _, s, _ = _unpack_arrays(buf)
         it, tl, cv, cs = struct.unpack("<idii", s)
         return SolverParams(it, tl, bool(cv), cs)
+
+
+@_register(7)
+@dataclass
+class CommandHardware:
+    """Hardware command with impedance wrench (lcmt_iiwa_command_hardware.lcm:
+    joint_position + joint_torque + wrench[6]) — the variant real-arm stacks
+    consume; position reference is always populated so the arm works in both
+    position- and torque-control modes."""
+
+    utime: float
+    q_ref: np.ndarray
+    tau: np.ndarray
+    wrench: Optional[np.ndarray] = None
+
+    def pack(self) -> bytes:
+        w = self.wrench if self.wrench is not None else np.zeros(6, np.float32)
+        return _pack_arrays(7, struct.pack("<d", self.utime), self.q_ref,
+                            self.tau, w)
+
+    @staticmethod
+    def unpack(buf: bytes) -> "CommandHardware":
+        _, s, (q, tau, w) = _unpack_arrays(buf)
+        return CommandHardware(struct.unpack("<d", s)[0], q, tau, w)
+
+
+@_register(8)
+@dataclass
+class ControllerReference:
+    """Low-level controller reference (lcmt_robot_controller_reference.lcm:
+    desired q/qd/qdd + nominal torque per joint)."""
+
+    utime: float
+    q_des: np.ndarray
+    qd_des: np.ndarray
+    qdd_des: np.ndarray
+    u_nominal: np.ndarray
+
+    def pack(self) -> bytes:
+        return _pack_arrays(8, struct.pack("<d", self.utime), self.q_des,
+                            self.qd_des, self.qdd_des, self.u_nominal)
+
+    @staticmethod
+    def unpack(buf: bytes) -> "ControllerReference":
+        _, s, (q, qd, qdd, u) = _unpack_arrays(buf)
+        return ControllerReference(struct.unpack("<d", s)[0], q, qd, qdd, u)
 
 
 def unpack_any(buf: bytes):

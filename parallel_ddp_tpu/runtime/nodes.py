@@ -33,6 +33,26 @@ from parallel_ddp_tpu.runtime import messages as msg
 from parallel_ddp_tpu.runtime.pubsub import Channels, NativeTrajRunner, PubSub
 
 
+def ee_goal_to_pytree(goal: msg.Goal, n_state: int = 14):
+    """Standard Goal-message -> EE-cost goal-pytree mapping (the handleGoalEE /
+    handleGoalqqd pair, LCMHelpers.cuh:195-201).  Mode 2 (EE twist) carries the
+    velocity separately as ee_vel_goal instead of overwriting the rpy slots
+    (see messages.Goal docstring for the reference's quirk)."""
+    zeros6 = np.zeros(6, np.float32)
+    xt = (np.asarray(goal.x_target, np.float32) if goal.x_target is not None
+          else np.zeros(n_state, np.float32))
+    if goal.mode == msg.Goal.MODE_JOINT:
+        return {"ee_goal": zeros6, "x_target": np.asarray(goal.value, np.float32)}
+    if goal.mode == msg.Goal.MODE_EE_TWIST:
+        v = np.asarray(goal.value, np.float32)
+        return {
+            "ee_goal": np.concatenate([v[:3], np.zeros(3, np.float32)]),
+            "ee_vel_goal": np.concatenate([v[3:6], np.zeros(3, np.float32)]),
+            "x_target": xt,
+        }
+    return {"ee_goal": np.asarray(goal.value, np.float32), "x_target": xt}
+
+
 class MPCLoopNode:
     def __init__(self, controller: MPCController, bus: PubSub,
                  goal_to_pytree: Callable[[msg.Goal], object],
@@ -84,7 +104,7 @@ class MPCLoopNode:
                 time.sleep(poll_s)
                 continue
             status = msg.Status.unpack(m[0])
-            goal_pt = self.goal_to_pytree(self.goal)
+            goal_pt = self._goal_pytree()
             if self.state is None:
                 self.state = self.ctrl.init_state(
                     status.x, t0=status.utime, goal=goal_pt, weights=self.weights
@@ -99,8 +119,15 @@ class MPCLoopNode:
                 self.state = self.ctrl.init_state(
                     status.x, t0=status.utime, goal=goal_pt, weights=self.weights
                 )
+            t_solve0 = time.perf_counter()
             self.state, info = self.ctrl.step(
-                self.state, status.x, status.utime, goal_pt, self.weights
+                self.state, status.x, status.utime, goal_pt, self.weights,
+                iter_limit=self.solver_params.iter_limit,
+                time_limit_ms=self.solver_params.time_limit_ms,
+            )
+            # keep the wall-clock -> iteration budget model calibrated
+            self.ctrl.calibrate_timing(
+                (time.perf_counter() - t_solve0) * 1e3, int(info.iters)
             )
             self.solve_count += 1
             if not bool(info.ok):
