@@ -91,6 +91,12 @@ class SolverConfig:
     # AD (USE_FINITE_DIFF, nisInitHelpers.cuh:138-243)
     use_finite_diff: bool = False
     fd_eps: float = 1e-4
+    # EXACT log-depth backward pass via associative-scan Riccati instead of the
+    # reference's stale-boundary block approximation (parallel/backward.py
+    # _assoc_attempt).  TPU-first alternative to m_blocks_b; requires plain
+    # regularization (state_reg=False) because Tassa state-reg does not fold
+    # into the scan elements.
+    bp_assoc_scan: bool = False
 
     @property
     def dt(self) -> float:
@@ -111,6 +117,12 @@ class SolverConfig:
             raise ValueError("num_time_steps must be divisible by m_blocks_f")
         if self.integrator not in (1, 2, 3):
             raise ValueError("integrator must be 1 (Euler), 2 (Midpoint) or 3 (RK3)")
+        if self.bp_assoc_scan and self.state_reg:
+            raise ValueError(
+                "bp_assoc_scan requires state_reg=False (plain Huu += rho I "
+                "regularization folds into the scan elements; Tassa state-reg "
+                "does not)"
+            )
 
     def alphas(self, dtype=None):
         """Line-search step sizes alpha_i = alpha_base**i (nisInitHelpers.cuh:829).

@@ -158,6 +158,129 @@ def run_block(step, rho, seed_P, seed_p, ab_b, H_b, g_b, d_b, k_b):
     return jax.tree_util.tree_map(lambda a: a[::-1], outs)
 
 
+def _assoc_attempt(cfg, step, AB_pad, H, g, d, rho):
+    """EXACT log-depth backward pass via an associative scan (bp_assoc_scan).
+
+    The reference parallelizes the Riccati recursion by an APPROXIMATION —
+    stale prev-iteration boundary values between M_BLOCKS_B blocks
+    (bpHelpers.cuh:356-420).  On TPU the recursion can instead be computed
+    EXACTLY in O(log N) depth: each LQR step is a linear-fractional map on the
+    value-function quadratic V(x) = 0.5 x'Px + p'x, the family
+
+        P_i = J + F' P (I + C P)^{-1} F
+        p_i = eta + F' (I + P C)^{-1} (p + P z)
+
+    is closed under composition, and the composition rule is associative
+    (Sarkka & Garcia-Fernandez, "Temporal Parallelization of Bayesian
+    Smoothers", IEEE TAC 2021, Lemma 8 — adapted to this sign convention and
+    verified against the serial pass in tests/test_assoc_bp.py).  A suffix
+    `lax.associative_scan` over the per-step elements yields every V_k, after
+    which gains/feedforwards are extracted by ONE vmapped application of the
+    same per-step math used by the serial pass.
+
+    Shooting defects enter exactly as affine dynamics offsets (z_k = d_k on
+    block boundaries — for a quadratic V, grad V(x + d) = P x + (p + P d), the
+    reference's p~ = p + P d coupling, bpHelpers.cuh:67-81).
+
+    Requires plain regularization (state_reg=False): Tassa state
+    regularization makes the pullback P-dependent in a way that does not fold
+    into the cost, while Huu += rho I is just R~ = R + rho I."""
+    N = cfg.num_time_steps
+    nf = N - 1
+    n = AB_pad.shape[-2]
+    m = AB_pad.shape[-1] - n
+    dtype = H.dtype
+    eye_m = jnp.eye(m, dtype=dtype)
+    eye_n = jnp.eye(n, dtype=dtype)
+
+    A = AB_pad[:nf, :, :n]
+    B = AB_pad[:nf, :, n:]
+    Q = H[:nf, :n, :n]
+    Mx = H[:nf, :n, n:]
+    R = H[:nf, n:, n:]
+    gx = g[:nf, :n]
+    gu = g[:nf, n:]
+
+    # affine offsets: the shooting defect at block boundaries
+    k = jnp.arange(nf)
+    on_boundary = jnp.logical_and(
+        cfg.m_blocks_f > 1, (k + 1) % cfg.n_blocks_f == 0
+    )
+    c = jnp.where(on_boundary[:, None], d[:nf], 0.0)
+
+    # per-step elements, R~ = R + rho I factorized once per step
+    R_reg = R + rho * eye_m
+    rhs = jnp.concatenate(
+        [jnp.swapaxes(Mx, -1, -2), jnp.swapaxes(B, -1, -2), gu[:, :, None]],
+        axis=-1,
+    )
+    sol, pd_ok = jax.vmap(chol_solve_unrolled)(R_reg, rhs)  # (nf, m, n+n+1)
+    RiMt = sol[:, :, :n]          # R~^{-1} M'
+    RiBt = sol[:, :, n:2 * n]     # R~^{-1} B'
+    Rigu = sol[:, :, -1]          # R~^{-1} gu
+    F = A - jnp.einsum("kij,kjl->kil", B, RiMt)
+    C = jnp.einsum("kij,kjl->kil", B, RiBt)
+    J = Q - jnp.einsum("kij,kjl->kil", Mx, RiMt)
+    z = c - jnp.einsum("kij,kj->ki", B, Rigu)
+    eta = gx - jnp.einsum("kij,kj->ki", Mx, Rigu)
+
+    def combine(ei, ej):
+        """Compose: ei earlier in time, ej later (verified associative)."""
+        Fi, zi, Ci, Ji, etai = ei
+        Fj, zj, Cj, Jj, etaj = ej
+        # D = Fj (I + Ci Jj)^{-1};  E = Fi' (I + Jj Ci)^{-1}
+        ICJ = eye_n + jnp.einsum("...ij,...jl->...il", Ci, Jj)
+        IJC = eye_n + jnp.einsum("...ij,...jl->...il", Jj, Ci)
+        D = jnp.swapaxes(
+            jnp.linalg.solve(jnp.swapaxes(ICJ, -1, -2),
+                             jnp.swapaxes(Fj, -1, -2)), -1, -2)
+        E = jnp.swapaxes(
+            jnp.linalg.solve(jnp.swapaxes(IJC, -1, -2), Fi), -1, -2)
+        F12 = jnp.einsum("...ij,...jl->...il", D, Fi)
+        z12 = jnp.einsum("...ij,...j->...i",
+                         D, zi - jnp.einsum("...ij,...j->...i", Ci, etaj)) + zj
+        C12 = jnp.einsum("...ij,...jl,...ml->...im", D, Ci, Fj) + Cj
+        eta12 = jnp.einsum("...ij,...j->...i",
+                           E, etaj + jnp.einsum("...ij,...j->...i", Jj, zi)) + etai
+        J12 = jnp.einsum("...ij,...jl,...lm->...im", E, Jj, Fi) + Ji
+        return (F12, z12, C12, J12, eta12)
+
+    # suffix products: G_k = e_k o e_{k+1} o ... o e_{nf-1}.  With
+    # reverse=True the scan hands the operator (accumulated-later, earlier),
+    # so flip the arguments into combine's (earlier, later) convention.
+    Gs = lax.associative_scan(
+        lambda a, b: combine(b, a), (F, z, C, J, eta), reverse=True
+    )
+
+    # V_k = G_k applied to the terminal expansion (bpHelpers.cuh:361-367)
+    P_term = H[nf, :n, :n]
+    p_term = g[nf, :n]
+
+    def apply_elem(e):
+        Fk, zk, Ck, Jk, etak = e
+        Pk = Jk + Fk.T @ P_term @ jnp.linalg.solve(eye_n + Ck @ P_term, Fk)
+        pk = etak + Fk.T @ jnp.linalg.solve(
+            eye_n + P_term @ Ck, p_term + P_term @ zk
+        )
+        return Pk, pk
+
+    P_all, p_all = jax.vmap(apply_elem)(Gs)               # (nf, ...) = V_0..V_{nf-1}
+    # carry for step k is V_{k+1}; the terminal row consumes V_term itself
+    P_next = jnp.concatenate([P_all[1:], P_term[None], P_term[None]], axis=0)
+    p_next = jnp.concatenate([p_all[1:], p_term[None], p_term[None]], axis=0)
+
+    ks = jnp.arange(N)
+    outs = jax.vmap(
+        lambda Pn, pn, ab, Hk, gk, dk, kk: step(rho, (Pn, pn), (ab, Hk, gk, dk, kk))
+    )(P_next[:N], p_next[:N], AB_pad, H, g, d, ks)
+    (_, _), (P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o) = outs
+    fail = jnp.logical_or(jnp.any(fail_o), jnp.any(~pd_ok))
+    return (
+        P_o, p_o, K_o, du_o, ApBK_o, Bdu_o,
+        jnp.sum(dj_o, axis=0), fail,
+    )
+
+
 def backward_pass(
     cfg: SolverConfig,
     AB: jnp.ndarray,    # (N-1, n, n+m)
@@ -185,54 +308,60 @@ def backward_pass(
 
     step = make_riccati_step(cfg, n, m, dtype)
 
-    # block seeds
-    ks_last = (jnp.arange(Mb) + 1) * Nb - 1          # last step index of each block
-    seed_idx = jnp.minimum(ks_last + 1, nf)          # CTG index seeding the block
+    if cfg.bp_assoc_scan:
+        # exact log-depth associative-scan Riccati — no block approximation,
+        # no stale boundary seeds (see _assoc_attempt)
+        def attempt(rho):
+            return _assoc_attempt(cfg, step, AB_pad, H, g, d, rho)
+    else:
+        # block seeds
+        ks_last = (jnp.arange(Mb) + 1) * Nb - 1      # last step index of each block
+        seed_idx = jnp.minimum(ks_last + 1, nf)      # CTG index seeding the block
 
-    def make_seed(b):
-        s = seed_idx[b]
-        is_final = b == Mb - 1
-        # final block: terminal expansion V[N-1] = (Hxx, gx) (bpHelpers.cuh:361-367)
-        P_term = H[nf, :n, :n]
-        p_term = g[nf, :n]
-        # other blocks: previous-iteration CTG at the boundary, optionally
-        # transported through the state change (linearXfrmOrLoad, bpHelpers.cuh:16-34)
-        P_seed = Pp[s]
-        p_seed = pp[s]
-        if cfg.linear_transform_switch:
-            dx = x[s] - xp2[s]
-            p_seed = p_seed + P_seed @ dx
-        P0 = jnp.where(is_final, P_term, P_seed)
-        p0 = jnp.where(is_final, p_term, p_seed)
-        return P0, p0
+        def make_seed(b):
+            s = seed_idx[b]
+            is_final = b == Mb - 1
+            # final block: terminal expansion V[N-1] = (Hxx, gx) (bpHelpers.cuh:361-367)
+            P_term = H[nf, :n, :n]
+            p_term = g[nf, :n]
+            # other blocks: previous-iteration CTG at the boundary, optionally
+            # transported through the state change (linearXfrmOrLoad, bpHelpers.cuh:16-34)
+            P_seed = Pp[s]
+            p_seed = pp[s]
+            if cfg.linear_transform_switch:
+                dx = x[s] - xp2[s]
+                p_seed = p_seed + P_seed @ dx
+            P0 = jnp.where(is_final, P_term, P_seed)
+            p0 = jnp.where(is_final, p_term, p_seed)
+            return P0, p0
 
-    seeds_P, seeds_p = jax.vmap(make_seed)(jnp.arange(Mb))
+        seeds_P, seeds_p = jax.vmap(make_seed)(jnp.arange(Mb))
 
-    # reshape per-step arrays into (Mb, Nb, ...)
-    AB_blk = AB_pad.reshape(Mb, Nb, n, n + m)
-    H_blk = H.reshape(Mb, Nb, n + m, n + m)
-    g_blk = g.reshape(Mb, Nb, n + m)
-    d_blk = d.reshape(Mb, Nb, n)
-    k_blk = jnp.arange(N).reshape(Mb, Nb)
+        # reshape per-step arrays into (Mb, Nb, ...)
+        AB_blk = AB_pad.reshape(Mb, Nb, n, n + m)
+        H_blk = H.reshape(Mb, Nb, n + m, n + m)
+        g_blk = g.reshape(Mb, Nb, n + m)
+        d_blk = d.reshape(Mb, Nb, n)
+        k_blk = jnp.arange(N).reshape(Mb, Nb)
 
-    def attempt(rho):
-        outs = jax.vmap(
-            lambda sP, sp_, ab, Hb, gb, db, kb: run_block(
-                step, rho, sP, sp_, ab, Hb, gb, db, kb
+        def attempt(rho):
+            outs = jax.vmap(
+                lambda sP, sp_, ab, Hb, gb, db, kb: run_block(
+                    step, rho, sP, sp_, ab, Hb, gb, db, kb
+                )
+            )(seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk)
+            P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o = outs
+            flat = lambda a: a.reshape((N,) + a.shape[2:])
+            return (
+                flat(P_o),
+                flat(p_o),
+                flat(K_o),
+                flat(du_o),
+                flat(ApBK_o),
+                flat(Bdu_o),
+                jnp.sum(dj_o, axis=(0, 1)),
+                jnp.any(fail_o),
             )
-        )(seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk)
-        P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o = outs
-        flat = lambda a: a.reshape((N,) + a.shape[2:])
-        return (
-            flat(P_o),
-            flat(p_o),
-            flat(K_o),
-            flat(du_o),
-            flat(ApBK_o),
-            flat(Bdu_o),
-            jnp.sum(dj_o, axis=(0, 1)),
-            jnp.any(fail_o),
-        )
 
     # rho-retry loop (backwardPassGPU, bpHelpers.cuh:489-515) with a safety cap
     def retry_cond(state):

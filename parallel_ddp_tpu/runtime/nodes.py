@@ -256,6 +256,62 @@ class StatusFilterNode:
             self.bus.publish(Channels.STATUS_FILTERED, out.pack())
 
 
+class TrajPlaybackNode:
+    """Canned-trajectory playback at a fixed rate — the PID trajectory-tracker
+    comms check (test/PIDTrajTracker.cu:44-90): wait for the first STATUS to
+    latch the plant clock, then publish one command per tick paced by wall
+    clock, carrying the canned position reference (and, in torque mode, the
+    canned feedforward torques).  `hardware_mode` publishes the
+    CommandHardware wrench variant (lcmt_iiwa_command_hardware), exercising
+    the hardware-shaped message flow end-to-end without a solver."""
+
+    def __init__(self, bus: PubSub, q_traj: np.ndarray, u_traj: np.ndarray,
+                 rate_hz: float = 1000.0, torque_mode: bool = False,
+                 hardware_mode: bool = True):
+        self.bus = bus
+        self.q_traj = np.asarray(q_traj, np.float32)
+        self.u_traj = np.asarray(u_traj, np.float32)
+        self.rate_hz = float(rate_hz)
+        self.torque_mode = torque_mode
+        self.hardware_mode = hardware_mode
+        self.published = 0
+        self.done = False
+        bus.subscribe(Channels.STATUS)
+
+    def _command(self, utime: float, k: int) -> bytes:
+        tau = (self.u_traj[k] if self.torque_mode
+               else np.zeros_like(self.u_traj[k]))
+        if self.hardware_mode:
+            return msg.CommandHardware(
+                utime, self.q_traj[k], tau, np.zeros(6, np.float32)
+            ).pack()
+        return msg.Command(utime, tau, self.q_traj[k]).pack()
+
+    def run(self, stop: threading.Event, poll_s: float = 0.0002):
+        # latch t0 from the first status (handleMessage, PIDTrajTracker.cu:51-53)
+        t0 = None
+        while not stop.is_set():
+            m = self.bus.poll_new(Channels.STATUS)
+            if m:
+                t0 = msg.Status.unpack(m[0]).utime
+                break
+            time.sleep(poll_s)
+        if t0 is None:
+            return
+        period = 1.0 / self.rate_hz
+        next_t = time.perf_counter()
+        for k in range(self.q_traj.shape[0]):
+            if stop.is_set():
+                return
+            self.bus.publish(Channels.COMMAND, self._command(t0 + k * period, k))
+            self.published += 1
+            next_t += period
+            delay = next_t - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+        self.done = True
+
+
 def snoop(bus: PubSub, channel: str, duration: float = 1.0):
     """Channel sniffer (the debug printer utilities, LCMHelpers.cuh:286-416)."""
     bus.subscribe(channel)

@@ -164,3 +164,54 @@ def test_distributed_stack_pendulum():
     assert node_runner.command_count > 10, "runner never produced commands"
     xf = node_sim.x
     assert abs(float(xf[0]) - np.pi) < 0.35, f"pendulum drifted: {xf}"
+
+
+def test_traj_playback_node():
+    """PID trajectory-playback comms check (test/PIDTrajTracker.cu analog):
+    canned trajectory goes out as hardware-shaped commands at a fixed rate
+    after the first STATUS latches the clock."""
+    import threading
+
+    from parallel_ddp_tpu.runtime.nodes import TrajPlaybackNode
+    from parallel_ddp_tpu.runtime.pubsub import Channels
+
+    bus_a = PubSub(port=PORT + 3)
+    bus_b = PubSub(port=PORT + 3)
+    bus_b.subscribe(Channels.COMMAND)
+    time.sleep(0.05)
+
+    T = 40
+    q_traj = np.linspace(0, 1, T)[:, None] * np.ones((1, 7), np.float32)
+    u_traj = np.full((T, 7), 2.5, np.float32)
+    node = TrajPlaybackNode(bus_a, q_traj, u_traj, rate_hz=500.0,
+                            torque_mode=True, hardware_mode=True)
+    stop = threading.Event()
+    th = threading.Thread(target=node.run, args=(stop,), daemon=True)
+    th.start()
+
+    # no commands before the first status
+    time.sleep(0.1)
+    assert node.published == 0
+
+    bus_a_status = msg.Status(3.25, np.zeros(7, np.float32), np.zeros(7, np.float32))
+    bus_b.publish(Channels.STATUS, bus_a_status.pack())
+
+    got = []
+    deadline = time.time() + 5.0
+    while time.time() < deadline and not node.done:
+        m = bus_b.poll_new(Channels.COMMAND)
+        if m:
+            got.append(msg.unpack_any(m[0]))
+        time.sleep(0.001)
+    th.join(timeout=2)
+
+    assert node.done and node.published == T
+    assert got, "no commands received"
+    assert all(isinstance(c, msg.CommandHardware) for c in got)
+    # torque mode carries the canned feedforward; wrench present and zero
+    np.testing.assert_allclose(got[-1].tau, 2.5)
+    np.testing.assert_allclose(got[-1].wrench, 0.0)
+    # utime paced off the latched plant clock
+    assert got[0].utime >= 3.25
+    bus_a.close()
+    bus_b.close()
