@@ -35,7 +35,24 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def device_loop_result(duration=10.0, reps=1, control_period=0.01,
+                       sim_rate=1000.0, iters=6, settle_time=4.0):
+    """Fused device-loop fig-8 tracking run -> bench dict (importable from
+    bench.py so the tracking-error metric lands in the driver artifact)."""
+    import types
+
+    args = types.SimpleNamespace(
+        duration=duration, reps=reps, control_period=control_period,
+        sim_rate=sim_rate, iters=iters, settle_time=settle_time,
+    )
+    return _run_device_loop(args)
+
+
 def run_device_loop(args):
+    print(json.dumps(_run_device_loop(args)))
+
+
+def _run_device_loop(args):
     import jax
     import jax.numpy as jnp
 
@@ -107,7 +124,7 @@ def run_device_loop(args):
             "settle_final_err_m": round(float(np.asarray(res_settle.ee_err)[-1]), 4),
         },
     }
-    print(json.dumps(result))
+    return result
 
 
 def main():

@@ -21,28 +21,20 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batches", default="16,64,256")
-    ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--reps", type=int, default=10)
-    args = ap.parse_args()
-
+def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8):
+    """Scenario-batched throughput -> bench dict (importable from bench.py so
+    the BASELINE 'solves/s per chip' metric lands in the driver artifact)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
-
-    from parallel_ddp_tpu.parallel.sharding import make_batched_solver, make_mesh
-    from parallel_ddp_tpu.presets import ee_goal, kuka_ee
-
-    import jax.numpy as jnp
     from jax import lax
 
+    from parallel_ddp_tpu.presets import ee_goal, kuka_ee
     from parallel_ddp_tpu.solver import make_ilqr_solver
 
     prob = kuka_ee()
-    cfg = dataclasses.replace(prob.cfg, max_iter=args.iters, tol_cost=0.0)
+    cfg = dataclasses.replace(prob.cfg, max_iter=iters, tol_cost=0.0)
     rng = np.random.default_rng(0)
     n = cfg.num_time_steps
     goal1 = ee_goal([0.0, -0.55, 0.35])
@@ -53,7 +45,6 @@ def main():
     # result read — per-solve = (wall - RTT) / (K * B).  Neither
     # block_until_ready nor a prior "sync-mode" read is trustworthy for a
     # fresh executable here.
-    k_chain = 8
 
     def rtt_read():
         triv = jax.jit(lambda z: z + 1.0)
@@ -66,7 +57,7 @@ def main():
         return float(np.median(ts))
 
     results = {}
-    for b in [int(s) for s in args.batches.split(",")]:
+    for b in batches:
         goals = {k: jnp.tile(np.asarray(v)[None], (b, 1))
                  for k, v in goal1.items()}
 
@@ -87,7 +78,7 @@ def main():
         _ = np.asarray(prog(x0s, u0s))  # compile + first read
         r = rtt_read()
         ts = []
-        for _ in range(args.reps):
+        for _ in range(reps):
             t0 = time.perf_counter()
             _ = np.asarray(prog(x0s, u0s))
             ts.append(time.perf_counter() - t0)
@@ -99,13 +90,25 @@ def main():
         print(f"B={b}: {results[b]}", file=sys.stderr, flush=True)
 
     best = max(v["solves_per_s"] for v in results.values())
-    print(json.dumps({
+    return {
         "metric": "kuka_n64_batched_solves_per_s_per_chip",
         "value": best,
-        "unit": f"solves/s ({args.iters}-iter warm EE solve, batched scenarios)",
+        "unit": f"solves/s ({iters}-iter warm EE solve, batched scenarios)",
         "vs_baseline": round(best / 97.0, 1),
         "extra": results,
-    }))
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="16,64,256")
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+    print(json.dumps(batched_result(
+        tuple(int(s) for s in args.batches.split(",")),
+        iters=args.iters, reps=args.reps,
+    )))
 
 
 if __name__ == "__main__":
