@@ -76,3 +76,31 @@ def test_sp_rejects_nondivisible_blocks():
     mesh = make_mesh(8, axis_names=("sp",))
     with pytest.raises(ValueError):
         make_sp_solver(prob.plant, prob.cost, prob.cfg, mesh)
+
+
+def test_sp_matches_single_device_kuka():
+    """Flagship model through the collective path: a small-N Kuka EE solve
+    sharded over 'sp' must match the single-device solve (vector core on CPU,
+    see models/kuka/model.py)."""
+    import dataclasses as dc
+
+    from parallel_ddp_tpu.presets import ee_goal, kuka_ee
+
+    prob = kuka_ee(num_time_steps=16, m_blocks=2, num_alpha=4)
+    cfg = dc.replace(prob.cfg, max_iter=6)
+    goal = ee_goal([0.3, -0.3, 0.9])
+    x0 = jnp.zeros((16, 14), jnp.float32)
+    u0 = jnp.zeros((16, 7), jnp.float32)
+
+    ref = make_ilqr_solver(prob.plant, prob.cost, cfg)(
+        x0, u0, goal, initial_rollout=True
+    )
+    mesh = make_mesh(2, axis_names=("sp",))
+    out = make_sp_solver(prob.plant, prob.cost, cfg, mesh)(
+        x0, u0, goal, initial_rollout=True
+    )
+    np.testing.assert_allclose(out.J, ref.J, rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(out.alpha_trace), np.asarray(ref.alpha_trace)
+    )
+    np.testing.assert_allclose(out.x, ref.x, rtol=1e-3, atol=1e-3)
