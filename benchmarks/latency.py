@@ -1,0 +1,79 @@
+"""Single-solve latency benchmark — the round-1 headline metric.
+
+Warm-started Kuka N=64 EE solve (6 fixed iLQR iterations, the reference's
+10 ms MPC budget analog) timed synchronously with the tunnel RTT subtracted
+(see bench.py docstring).  Baseline: median 10.29 ms/solve ≈ 97 Hz
+(test/WAFR_fig8.py:7).
+
+Run: python benchmarks/latency.py
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+N_ITERS_PER_SOLVE = 6
+REPS = 20
+
+
+def latency_result(reps: int = REPS):
+    import jax
+    import jax.numpy as jnp
+
+    from parallel_ddp_tpu.presets import ee_goal, kuka_ee
+    from parallel_ddp_tpu.solver import make_ilqr_solver
+
+    prob = kuka_ee()
+    # fixed iteration count (tol_cost=0 disables the early exit so every solve
+    # does the same work, like a time-budgeted MPC solve at steady state)
+    cfg = dataclasses.replace(prob.cfg, max_iter=N_ITERS_PER_SOLVE, tol_cost=0.0)
+    solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
+
+    rng = np.random.default_rng(0)
+    n = cfg.num_time_steps
+    goal = ee_goal([0.0, -0.55, 0.35])
+
+    xs = [jnp.asarray(rng.normal(0, 0.3, (n, 14)).astype(np.float32))
+          for _ in range(reps)]
+    us = [jnp.asarray(rng.normal(0, 1.0, (n, 7)).astype(np.float32))
+          for _ in range(reps)]
+
+    # compile + switch the process into synchronous (honest) dispatch mode by
+    # reading one result
+    out = solver(xs[0], us[0], goal, initial_rollout=True)
+    _ = float(out.J)
+
+    # tunnel round-trip time via a trivial kernel
+    triv = jax.jit(lambda z: z + 1.0)
+    z = jnp.zeros((8, 128), jnp.float32)
+    jax.block_until_ready(triv(z))
+    rtts = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        jax.block_until_ready(triv(z))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = solver(xs[i], us[i], goal, initial_rollout=True)
+        jax.block_until_ready(out.J)
+        times.append(time.perf_counter() - t0)
+
+    med = float(np.median(times))
+    per_solve = max(med - rtt, 1e-6)
+    return {
+        "solves_per_s": round(1.0 / per_solve, 2),
+        "per_solve_ms": round(per_solve * 1e3, 3),
+        "rtt_ms": round(rtt * 1e3, 2),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(latency_result()))
