@@ -65,23 +65,18 @@ def _p_any(flag, axis: str):
     return lax.psum(flag.astype(jnp.int32), axis) > 0
 
 
-def make_sp_solver(
+def _make_solve_local(
     plant: Plant,
     cost: CostModel,
     cfg: SolverConfig,
-    mesh: Mesh,
-    axis: str = "sp",
+    S: int,
+    axis: str,
 ):
-    """Build solve(x0, u0, goal, weights, initial_rollout=True) with the horizon
-    sharded over `axis`.  Returns globally-shaped SolveOutput (time-axis arrays
-    carry an 'sp' sharding; scalars are replicated)."""
-    S = mesh.shape[axis]
+    """Build the PER-DEVICE solve body (chunk-local arrays in, chunk-local
+    arrays + replicated scalars out) shared by make_sp_solver (one solve) and
+    make_batched_sp_solver (dp x sp).  Returns
+    solve_local(x0_l, u0_l, goal, w, initial_rollout)."""
     N = cfg.num_time_steps
-    if cfg.m_blocks_b % S or cfg.m_blocks_f % S:
-        raise ValueError(
-            f"m_blocks_b={cfg.m_blocks_b} and m_blocks_f={cfg.m_blocks_f} "
-            f"must both be divisible by the 'sp' axis size {S}"
-        )
     Nl = N // S                       # time steps per device
     Mb_l = cfg.m_blocks_b // S        # backward blocks per device
     Mf_l = cfg.m_blocks_f // S        # shooting blocks per device
@@ -150,8 +145,6 @@ def make_sp_solver(
         d_l = jnp.zeros((Nl, n), x_l.dtype)
         d_l = d_l.at[(jnp.arange(Mf_l) + 1) * Nf - 1].set(d_bnd)
         return x_new, d_l
-
-    riccati_step = None  # built per-dtype inside the solve
 
     def _backward_sp(dev, rstep, AB_l, H_l, g_l, Pp_l, pp_l, d_l, x_l, xp2_l,
                      rho0, drho0):
@@ -344,7 +337,7 @@ def make_sp_solver(
 
     # ---------------- the sharded solve ----------------
 
-    def _solve_local(x0_l, u0_l, goal, w, initial_rollout: bool):
+    def solve_local(x0_l, u0_l, goal, w, initial_rollout: bool):
         dev = lax.axis_index(axis)
         dtype = x0_l.dtype
         ks = _local_ks(dev)
@@ -465,6 +458,30 @@ def make_sp_solver(
             converged=final["converged"], last_feasible=final["feasible"],
         )
 
+    return solve_local
+
+
+def make_sp_solver(
+    plant: Plant,
+    cost: CostModel,
+    cfg: SolverConfig,
+    mesh: Mesh,
+    axis: str = "sp",
+):
+    """Build solve(x0, u0, goal, weights, initial_rollout=True) with the horizon
+    sharded over `axis`.  Returns globally-shaped SolveOutput (time-axis arrays
+    carry an 'sp' sharding; scalars are replicated)."""
+    S = mesh.shape[axis]
+    if cfg.m_blocks_b % S or cfg.m_blocks_f % S:
+        raise ValueError(
+            f"m_blocks_b={cfg.m_blocks_b} and m_blocks_f={cfg.m_blocks_f} "
+            f"must both be divisible by the '{axis}' axis size {S}"
+        )
+    if cfg.slq:
+        raise NotImplementedError("SLQ is single-shooting; use the unsharded solver")
+
+    _solve_local = _make_solve_local(plant, cost, cfg, S, axis)
+
     sharded = P(axis)
     rep = P()
     out_specs = SolveOutput(
@@ -489,3 +506,64 @@ def make_sp_solver(
             return fn(jnp.asarray(x0), jnp.asarray(u0), goal, w)
 
     return jax.jit(solve, static_argnames=("initial_rollout",))
+
+
+def make_batched_sp_solver(
+    plant: Plant,
+    cost: CostModel,
+    cfg: SolverConfig,
+    mesh: Mesh,
+    batch_axis: str = "dp",
+    axis: str = "sp",
+):
+    """2-D mesh scale-out: scenarios sharded over `batch_axis` AND each solve's
+    horizon sharded over `axis` — the combined form of parallel/sharding.py's
+    scenario batching and this module's horizon sharding.  Every device owns
+    (B / dp) scenarios x (N / sp) time steps; the per-scenario solves run in
+    lockstep under a local vmap and the horizon couplings ride 'sp'
+    collectives exactly as in make_sp_solver.
+
+    solve_batch(x0s (B, N, n), u0s (B, N, m), goals (leading B on each leaf),
+    weights) -> SolveOutput with leading scenario axis."""
+    S = mesh.shape[axis]
+    if cfg.m_blocks_b % S or cfg.m_blocks_f % S:
+        raise ValueError(
+            f"m_blocks_b={cfg.m_blocks_b} and m_blocks_f={cfg.m_blocks_f} "
+            f"must both be divisible by the '{axis}' axis size {S}"
+        )
+    # reuse the full sp solver machinery: rebuild the local solve body by
+    # calling make_sp_solver's internals through a single-scenario closure
+    sp_solver_local = _make_solve_local(plant, cost, cfg, S, axis)
+
+    b_sharded = P(batch_axis, axis)       # (B, N, ...) scenario x time
+    b_only = P(batch_axis)
+    rep = P()
+    out_specs = SolveOutput(
+        x=b_sharded, u=b_sharded, K=b_sharded, d=b_sharded, P=b_sharded,
+        p=b_sharded, J=b_only, iters=b_only, J_trace=b_only,
+        alpha_trace=b_only, rho=b_only, max_defect=b_only,
+        converged=b_only, last_feasible=b_only,
+    )
+
+    def solve_batch(x0s, u0s, goals, weights: Optional[CostWeights] = None,
+                    initial_rollout: bool = True) -> SolveOutput:
+        w = weights if weights is not None else CostWeights()
+        goal_spec = jax.tree_util.tree_map(lambda _: b_only, goals)
+        w_spec = jax.tree_util.tree_map(lambda _: rep, w)
+
+        def local(x_l, u_l, goals_l, w_l):
+            return jax.vmap(
+                lambda x, u, g: sp_solver_local(x, u, g, w_l, initial_rollout)
+            )(x_l, u_l, goals_l)
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(b_sharded, b_sharded, goal_spec, w_spec),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        with jax.default_matmul_precision("highest"):
+            return fn(jnp.asarray(x0s), jnp.asarray(u0s), goals, w)
+
+    return jax.jit(solve_batch, static_argnames=("initial_rollout",))

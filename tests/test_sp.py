@@ -104,3 +104,40 @@ def test_sp_matches_single_device_kuka():
         np.asarray(out.alpha_trace), np.asarray(ref.alpha_trace)
     )
     np.testing.assert_allclose(out.x, ref.x, rtol=1e-3, atol=1e-3)
+
+
+def test_batched_sp_2d_mesh_matches_single_device():
+    """dp x sp 2-D mesh: scenarios sharded over 'dp', each solve's horizon
+    sharded over 'sp' — every scenario must match its single-device solve."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from parallel_ddp_tpu.parallel.sp import make_batched_sp_solver
+
+    prob = pendulum_swingup(num_time_steps=32, m_blocks=4, num_alpha=4)
+    cfg = dataclasses.replace(prob.cfg, max_iter=8)
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("dp", "sp"))
+
+    B = 4
+    rng = _np.random.default_rng(3)
+    x0s = jnp.zeros((B, 32, 2), jnp.float32)
+    u0s = jnp.asarray(rng.normal(0, 0.1, (B, 32, 1)).astype(_np.float32))
+    goals = jnp.asarray(
+        _np.stack([[_np.pi * (0.5 + 0.1 * i), 0.0] for i in range(B)]),
+        jnp.float32,
+    )
+
+    out = make_batched_sp_solver(prob.plant, prob.cost, cfg, mesh)(
+        x0s, u0s, goals, initial_rollout=True
+    )
+    assert out.x.shape == (B, 32, 2)
+
+    ref_solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
+    for i in range(B):
+        ref = ref_solver(x0s[i], u0s[i], goals[i], initial_rollout=True)
+        np.testing.assert_allclose(out.J[i], ref.J, rtol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(out.alpha_trace[i]), np.asarray(ref.alpha_trace)
+        )
+        np.testing.assert_allclose(out.x[i], ref.x, rtol=1e-3, atol=1e-3)
