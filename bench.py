@@ -53,7 +53,11 @@ _TIMEDYN = """
 import sys, json
 sys.path.insert(0, {root!r})
 from benchmarks.timedyn import microbench_result
-print("@@RESULT@@" + json.dumps(microbench_result(batch=4096, reps=8)))
+# scan=256: the Pallas kernels are ~3-12 ns/eval, so a 32-chain's device time
+# (~0.4 ms) drowns in tunnel-RTT jitter and the corrected value can go
+# negative; 256 chained evals x 4096 batch puts every path's device time well
+# above the jitter floor.
+print("@@RESULT@@" + json.dumps(microbench_result(batch=4096, reps=8, scan=256)))
 """
 
 _FIG8 = """
@@ -99,7 +103,7 @@ def main():
         time.sleep(10)  # let the tunnel grant cycle between clients
 
     if "batched" in want:
-        r = run_stage("batched", _BATCHED, 1500)
+        r = run_stage("batched", _BATCHED, 1800)
         if r:
             extra["batched_solves_per_s_per_chip"] = r["value"]
             extra["batched_vs_baseline"] = r["vs_baseline"]

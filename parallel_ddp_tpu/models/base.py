@@ -48,6 +48,12 @@ class Plant:
     max_defect_default: float = 1.0
     alpha_base_default: float = 0.75
     num_alpha_default: int = 32
+    # Optional BATCHED discrete-Jacobian factory: (integrator, dt) ->
+    # ab(xs:(B, n_state), us:(B, n_ctrl)) -> (B, n_state, n_state + n_ctrl).
+    # When set, the solver's derivative stage calls it on the whole time axis at
+    # once instead of vmapping the per-sample jacfwd — the hook that routes the
+    # fused Pallas RBD kernels (ops/pallas_rbd.py) onto the production path.
+    batched_step_jac: Optional[Callable[[int, float], Callable]] = None
 
     def __hash__(self):
         return hash((self.name, self.n_pos, self.n_ctrl))

@@ -25,6 +25,11 @@ class KukaParams:
     #          step Jacobian alone >570 s measured).
     #   "rbd"  spatial-algebra vector core (rbd.py): small jnp matmuls; CPU
     #          step-Jacobian compiles in ~11 s.  The CPU/test/dryrun core.
+    #   "pallas" per-sample ops as "soa"/"rbd" (TPU/other), but the solver's
+    #          derivative stage (the AB Jacobians over the whole horizon) runs
+    #          through the fused Pallas RBD kernels (ops/pallas_rbd.py
+    #          make_kuka_ab_pallas): one dynamics + one Jacobian kernel per
+    #          Butcher stage for the entire time batch.
     #   "auto" soa on TPU, rbd elsewhere.
     core: str = "auto"
 
@@ -49,7 +54,22 @@ def kuka_params(mpc_mode: bool = False, ee_type: int = 1,
 def kuka(params: KukaParams | None = None) -> Plant:
     params = params or KukaParams()
     core = params.resolved_core()
-    rbd = _rbd(params.ee_type, params.gravity, core)
+    batched_step_jac = None
+    if core == "pallas":
+        from parallel_ddp_tpu.ops.pallas_rbd import make_kuka_ab_pallas
+
+        import jax
+
+        # per-sample ops (rollouts, EE kinematics) keep the per-backend core;
+        # only the batched derivative stage routes through Pallas
+        per_sample = "soa" if jax.default_backend() == "tpu" else "rbd"
+        rbd = _rbd(params.ee_type, params.gravity, per_sample)
+
+        def batched_step_jac(integrator, dt, _p=params):
+            return make_kuka_ab_pallas(_p.ee_type, _p.gravity, integrator, dt)
+
+    else:
+        rbd = _rbd(params.ee_type, params.gravity, core)
 
     def dynamics(x, u):
         return rbd.forward_dynamics(x, u)
@@ -71,4 +91,5 @@ def kuka(params: KukaParams | None = None) -> Plant:
         max_defect_default=1.0,
         alpha_base_default=0.5,
         num_alpha_default=16,
+        batched_step_jac=batched_step_jac,
     )

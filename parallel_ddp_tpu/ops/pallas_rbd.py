@@ -135,3 +135,75 @@ def kuka_qdd_jac_pallas(x, u, ee_type: int = 1, gravity: float = 9.81,
         interpret = jax.default_backend() != "tpu"
     _, jac_call = _build(ee_type, float(gravity), bool(interpret))
     return _run(jac_call, x, u, (N_JOINTS, 3 * N_JOINTS))
+
+
+def make_ab_composer(fdyn, fjac, integrator: int, dt: float, ns: int, nj: int):
+    """Compose batched stage dynamics/Jacobians into the discrete AB = [A | B].
+
+    Generic Butcher-stage chain rule (the maps the reference hand-writes in
+    integrators.cuh:40-233), independent of what produces the stage values:
+      fdyn(x:(B, ns), u:(B, nj)) -> xdot:(B, ns)
+      fjac(x, u) -> d xdot / d [x; u]:(B, ns, ns + nj)
+    The stage compositions are (B, ns, ns) x (B, ns, ns+nj) batched matmuls —
+    MXU work when B is the whole time axis.
+    """
+    E = jnp.concatenate(
+        [jnp.eye(ns, dtype=jnp.float32), jnp.zeros((ns, nj), jnp.float32)], axis=1
+    )  # d x / d [x; u]
+    U = jnp.concatenate(
+        [jnp.zeros((nj, ns), jnp.float32), jnp.eye(nj, dtype=jnp.float32)], axis=1
+    )  # d u / d [x; u]
+
+    def chain(F, Dx):
+        # d f(xs, u) / d [x; u] = F_x @ (d xs / d [x; u]) + F_u @ (d u / d [x; u])
+        return jnp.einsum("bij,bjk->bik", F[:, :, :ns], Dx) + F[:, :, ns:] @ U
+
+    def ab(x, u):
+        if integrator == 1:  # Euler (integrators.cuh:40-53)
+            return E + dt * fjac(x, u)
+        if integrator == 2:  # Midpoint (integrators.cuh:84-120)
+            k1 = fdyn(x, u)
+            Dk1 = fjac(x, u)
+            xm = x + (0.5 * dt) * k1
+            Dk2 = chain(fjac(xm, u), E + (0.5 * dt) * Dk1)
+            return E + dt * Dk2
+        if integrator == 3:  # RK3 (integrators.cuh:159-233, exact stage points)
+            k1 = fdyn(x, u)
+            Dk1 = fjac(x, u)
+            x2 = x + (0.5 * dt) * k1
+            k2 = fdyn(x2, u)
+            Dk2 = chain(fjac(x2, u), E + (0.5 * dt) * Dk1)
+            x3 = x + dt * (2.0 * k2 - k1)
+            Dk3 = chain(fjac(x3, u), E + dt * (2.0 * Dk2 - Dk1))
+            return E + (dt / 6.0) * (Dk1 + 4.0 * Dk2 + Dk3)
+        raise ValueError(f"unknown integrator {integrator}")
+
+    return ab
+
+
+def make_kuka_ab_pallas(ee_type: int, gravity: float, integrator: int, dt: float,
+                        interpret: bool | None = None):
+    """Batched discrete-dynamics Jacobian AB = [A | B] via the fused Pallas kernels.
+
+    Returns ab(x:(B, 14), u:(B, 7)) -> (B, 14, 21): one Pallas dynamics + one
+    Pallas Jacobian kernel call per Butcher stage over the WHOLE batch, chained
+    by `make_ab_composer` — the production wiring of the kernels for the
+    solver's derivative stage (integratorGradientKern, nisInitHelpers.cuh:
+    245-279), where the time axis supplies the batch.
+    """
+    ns, nj = 2 * N_JOINTS, N_JOINTS
+
+    def fdyn(x, u):
+        # continuous xdot = [qd; qdd], batched
+        qdd = kuka_qdd_pallas(x, u, ee_type, gravity, interpret)
+        return jnp.concatenate([x[:, nj:], qdd], axis=1)
+
+    def fjac(x, u):
+        # F = d xdot / d [x; u]: rows [qd; qdd] -> [[0 I 0]; [J_qdd]], (B, 14, 21)
+        J = kuka_qdd_jac_pallas(x, u, ee_type, gravity, interpret)
+        b = x.shape[0]
+        top = jnp.zeros((b, nj, ns + nj), J.dtype)
+        top = top.at[:, :, nj:ns].set(jnp.eye(nj, dtype=J.dtype))
+        return jnp.concatenate([top, J], axis=1)
+
+    return make_ab_composer(fdyn, fjac, integrator, dt, ns, nj)

@@ -60,8 +60,15 @@ class _Carry(NamedTuple):
 
 def _derivatives(cfg, step_jac, cost_quad, x, u, goal, w):
     """Next-iteration setup: AB/H/g at the accepted trajectory, vmapped over time
-    (integratorGradientKern + costGradientHessianKern, nisInitHelpers.cuh:245-279)."""
-    AB = jax.vmap(step_jac)(x[:-1], u[:-1])
+    (integratorGradientKern + costGradientHessianKern, nisInitHelpers.cuh:245-279).
+
+    `step_jac` is either a per-sample jac (vmapped here) or an already-batched
+    (N-1, n)-in (N-1, n, n+m)-out function (Plant.batched_step_jac — the Pallas
+    RBD production path); the latter is marked with `_is_batched`."""
+    if getattr(step_jac, "_is_batched", False):
+        AB = step_jac(x[:-1], u[:-1])
+    else:
+        AB = jax.vmap(step_jac)(x[:-1], u[:-1])
     ks = jnp.arange(cfg.num_time_steps)
     H, g = jax.vmap(lambda xk, uk, k: cost_quad(xk, uk, k, goal, w))(x, u, ks)
     return AB, H, g
@@ -106,6 +113,9 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
     step_fn = make_step(plant, cfg.integrator, cfg.dt)
     if cfg.use_finite_diff:
         step_jac = make_step_jacobian_fd(plant, cfg.integrator, cfg.dt, cfg.fd_eps)
+    elif plant.batched_step_jac is not None:
+        step_jac = plant.batched_step_jac(cfg.integrator, cfg.dt)
+        step_jac._is_batched = True
     else:
         step_jac = make_step_jacobian(plant, cfg.integrator, cfg.dt)
     alphas = cfg.alphas()
