@@ -46,7 +46,8 @@ _BATCHED = """
 import sys, json
 sys.path.insert(0, {root!r})
 from benchmarks.scaling import batched_result
-print("@@RESULT@@" + json.dumps(batched_result(batches=(256,), iters=6, reps=6)))
+print("@@RESULT@@" + json.dumps(batched_result(batches=(256,), iters=6, reps=6,
+                                               core={core!r})))
 """
 
 _TIMEDYN = """
@@ -68,11 +69,11 @@ print("@@RESULT@@" + json.dumps(device_loop_result(duration=10.0, reps=1, iters=
 """
 
 
-def run_stage(name: str, code: str, timeout_s: float):
+def run_stage(name: str, code: str, timeout_s: float, **fmt):
     root = os.path.dirname(os.path.abspath(__file__))
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", code.format(root=root)],
+            [sys.executable, "-c", code.format(root=root, **fmt)],
             capture_output=True, text=True, timeout=timeout_s,
         )
         for line in proc.stdout.splitlines():
@@ -84,40 +85,65 @@ def run_stage(name: str, code: str, timeout_s: float):
         print(f"[bench] stage {name}: timed out after {timeout_s:.0f}s "
               "(likely an uncached program + dead remote compile helper)",
               file=sys.stderr)
+        return "TIMEOUT"
     except Exception as e:  # noqa: BLE001 - a failed stage must not kill the artifact
         print(f"[bench] stage {name}: {e}", file=sys.stderr)
     return None
 
 
 def main():
-    stages_env = os.environ.get("PDDP_BENCH_STAGES", "latency,batched,rbd,fig8")
+    stages_env = os.environ.get(
+        "PDDP_BENCH_STAGES", "latency,batched,batched_pallas,rbd,fig8"
+    )
     want = {s.strip() for s in stages_env.split(",")}
     extra = {}
     value = None
+    timeouts = 0  # consecutive; 2 in a row = tunnel dead, skip the rest
+
+    def stage(name, code, timeout_s, **fmt):
+        nonlocal timeouts
+        if timeouts >= 2:
+            print(f"[bench] skipping {name}: two consecutive stage timeouts "
+                  "(tunnel likely dead)", file=sys.stderr)
+            return None
+        r = run_stage(name, code, timeout_s, **fmt)
+        time.sleep(10)  # let the tunnel grant cycle between clients
+        if r == "TIMEOUT":
+            timeouts += 1
+            return None
+        if r is not None:
+            timeouts = 0
+        return r
 
     if "latency" in want:
-        r = run_stage("latency", _LATENCY, 900)
+        r = stage("latency", _LATENCY, 900)
         if r:
             value = r["solves_per_s"]
             extra["latency_per_solve_ms"] = r["per_solve_ms"]
-        time.sleep(10)  # let the tunnel grant cycle between clients
 
     if "batched" in want:
-        r = run_stage("batched", _BATCHED, 1800)
+        r = stage("batched", _BATCHED, 1800, core="auto")
         if r:
             extra["batched_solves_per_s_per_chip"] = r["value"]
             extra["batched_vs_baseline"] = r["vs_baseline"]
             extra["batched_detail"] = r["extra"]
-        time.sleep(10)
+
+    if "batched_pallas" in want:
+        # same metric through the fused Pallas RBD derivative stage
+        # (kuka core='pallas'); recorded next to the XLA-core number so the
+        # artifact states which production path wins (VERDICT r1 weak #6)
+        r = stage("batched_pallas", _BATCHED, 1800, core="pallas")
+        if r:
+            extra["batched_pallas_solves_per_s_per_chip"] = r["value"]
+            extra["batched_pallas_detail"] = r["extra"]
 
     if "rbd" in want:
-        r = run_stage("rbd", _TIMEDYN, 900)
+        r = stage("rbd", _TIMEDYN, 900)
         if r:
             extra["rbd_ns_per_eval"] = r["extra"]
-        time.sleep(10)
 
     if "fig8" in want:
-        r = run_stage("fig8", _FIG8, 1800)
+        r = stage("fig8", _FIG8, 1800)
         if r:
             extra["fig8_avg_ee_tracking_error_m"] = r["value"]
             extra["fig8_vs_baseline_0.0878m"] = r["vs_baseline"]

@@ -21,9 +21,18 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8):
+def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
+                   core="auto"):
     """Scenario-batched throughput -> bench dict (importable from bench.py so
-    the BASELINE 'solves/s per chip' metric lands in the driver artifact)."""
+    the BASELINE 'solves/s per chip' metric lands in the driver artifact).
+
+    `core` selects the Kuka derivative-stage implementation: "auto" = fused
+    XLA scalar-channel SoA; "pallas" = the fused Pallas RBD dynamics +
+    21-tangent Jacobian kernels on the solver's derivative stage
+    (ops/pallas_rbd.py).  bench.py measures both and records the winner —
+    under scenario-vmap each solve's 63-sample derivative batch occupies 6%
+    of the kernels' native 1024-lane tile, so which path wins at a given
+    scenario batch is an empirical question the artifact should answer."""
     import dataclasses
 
     import jax
@@ -33,7 +42,7 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8):
     from parallel_ddp_tpu.presets import ee_goal, kuka_ee
     from parallel_ddp_tpu.solver import make_ilqr_solver
 
-    prob = kuka_ee()
+    prob = kuka_ee(core=core)
     cfg = dataclasses.replace(prob.cfg, max_iter=iters, tol_cost=0.0)
     rng = np.random.default_rng(0)
     n = cfg.num_time_steps
@@ -93,9 +102,10 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8):
     return {
         "metric": "kuka_n64_batched_solves_per_s_per_chip",
         "value": best,
-        "unit": f"solves/s ({iters}-iter warm EE solve, batched scenarios)",
+        "unit": f"solves/s ({iters}-iter warm EE solve, batched scenarios, "
+                f"core={core})",
         "vs_baseline": round(best / 97.0, 1),
-        "extra": results,
+        "extra": {"core": core, **results},
     }
 
 
