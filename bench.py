@@ -35,6 +35,15 @@ import time
 
 BASELINE_SOLVES_PER_S = 97.0  # reference: median 10.29 ms/solve (WAFR_fig8.py:7)
 
+_PREFLIGHT = """
+import sys, json
+sys.path.insert(0, {root!r})
+import jax, jax.numpy as jnp
+z = jnp.zeros((8, 128)) + 1.0
+print("@@RESULT@@" + json.dumps({{"ok": float(z.sum()) == 1024.0,
+                                  "backend": jax.default_backend()}}))
+"""
+
 _LATENCY = """
 import sys, json
 sys.path.insert(0, {root!r})
@@ -114,6 +123,17 @@ def main():
         if r is not None:
             timeouts = 0
         return r
+
+    # Preflight: a trivial kernel must run end-to-end within 4 min, else the
+    # device/tunnel is down and every stage would burn its full timeout.
+    pf = run_stage("preflight", _PREFLIGHT, 240)
+    if not (isinstance(pf, dict) and pf.get("ok")):
+        print("[bench] preflight failed — device/tunnel unavailable; "
+              "emitting empty artifact", file=sys.stderr)
+        want = set()
+    else:
+        extra["backend"] = pf["backend"]
+        time.sleep(5)
 
     if "latency" in want:
         r = stage("latency", _LATENCY, 900)
