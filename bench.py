@@ -40,8 +40,12 @@ import sys, json
 sys.path.insert(0, {root!r})
 import jax, jax.numpy as jnp
 z = jnp.zeros((8, 128)) + 1.0
-print("@@RESULT@@" + json.dumps({{"ok": float(z.sum()) == 1024.0,
-                                  "backend": jax.default_backend()}}))
+# a cpu backend here means the accelerator plugin failed to initialize and jax
+# fell back — the stages would burn their full timeouts on XLA:CPU compiles of
+# TPU-sized programs and record CPU numbers in a TPU artifact
+print("@@RESULT@@" + json.dumps({{
+    "ok": float(z.sum()) == 1024.0 and jax.default_backend() != "cpu",
+    "backend": jax.default_backend()}}))
 """
 
 _LATENCY = """

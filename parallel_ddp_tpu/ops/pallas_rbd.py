@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,8 +45,11 @@ def _qdd_kernel(cc, x_ref, u_ref, out_ref):
         out_ref[i] = qdd[i]
 
 
-def _jac_kernel(cc, x_ref, u_ref, out_ref):
-    """d qdd / d [x; u] per sample, channels (7*21, 8, 128).
+def _jac_kernel(cc, x_ref, u_ref, out_ref, qdd_ref):
+    """d qdd / d [x; u] per sample, channels (7*21, 8, 128), PLUS the primal
+    qdd (7, 8, 128) — the linearization point's forward value comes for free
+    from jax.linearize, so integrator stages that need both (Midpoint/RK3)
+    launch ONE kernel instead of two.
 
     jax.linearize shares the primal RNEA/CRBA work across all 21 tangents; the
     tangent applications are elementwise too, so the whole Jacobian stays in
@@ -57,7 +61,9 @@ def _jac_kernel(cc, x_ref, u_ref, out_ref):
         q, qd, tau = chans[:7], chans[7:14], chans[14:21]
         return soa.qdd_channels(cc, list(q), list(qd), list(tau))
 
-    _, f_lin = jax.linearize(f, *(xs + us))
+    qdd, f_lin = jax.linearize(f, *(xs + us))
+    for i in range(N_JOINTS):
+        qdd_ref[i] = qdd[i]
     zero = xs[0] * 0.0
     one = zero + 1.0
     for j in range(3 * N_JOINTS):
@@ -81,11 +87,14 @@ def _build(ee_type: int, gravity: float, interpret: bool):
     )
     jac_call = pl.pallas_call(
         functools.partial(_jac_kernel, cc),
-        out_shape=jax.ShapeDtypeStruct(
-            (N_JOINTS * 3 * N_JOINTS, _SUB, _LANE), jnp.float32
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (N_JOINTS * 3 * N_JOINTS, _SUB, _LANE), jnp.float32
+            ),
+            jax.ShapeDtypeStruct((N_JOINTS, _SUB, _LANE), jnp.float32),
         ),
         in_specs=[vspec, vspec],
-        out_specs=vspec,
+        out_specs=(vspec, vspec),
         interpret=interpret,
     )
     return qdd_call, jac_call
@@ -116,6 +125,19 @@ def _run(call, x, u, tail):
     return _from_tiles(out, x.shape[0], tail)
 
 
+def _run_pair(call, x, u, tail1, tail2):
+    """As _run for a two-output pallas_call (jac + primal qdd)."""
+    b = x.shape[0]
+    xt = _to_tiles(jnp.asarray(x, jnp.float32))
+    ut = _to_tiles(jnp.asarray(u, jnp.float32))
+    if xt.shape[0] > 1:
+        o1, o2 = jax.vmap(call)(xt, ut)
+    else:
+        o1, o2 = call(xt[0], ut[0])
+        o1, o2 = o1[None], o2[None]
+    return _from_tiles(o1, b, tail1), _from_tiles(o2, b, tail2)
+
+
 def kuka_qdd_pallas(x, u, ee_type: int = 1, gravity: float = 9.81,
                     interpret: bool | None = None):
     """Batched forward dynamics qdd (B, 7), one fused Pallas kernel per 1024-batch tile.
@@ -131,27 +153,45 @@ def kuka_qdd_jac_pallas(x, u, ee_type: int = 1, gravity: float = 9.81,
                         interpret: bool | None = None):
     """Batched dynamics Jacobian d qdd / d [x; u]: (B, 7, 21), one kernel per tile
     (the reference's hand-derived dynamicsGradient, dynamics_arm.cuh:2165-2289)."""
+    return kuka_jac_qdd_pallas(x, u, ee_type, gravity, interpret)[0]
+
+
+def kuka_jac_qdd_pallas(x, u, ee_type: int = 1, gravity: float = 9.81,
+                        interpret: bool | None = None):
+    """Batched (jacobian (B, 7, 21), primal qdd (B, 7)) from ONE fused kernel —
+    the primal is the linearization point jax.linearize evaluates anyway."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     _, jac_call = _build(ee_type, float(gravity), bool(interpret))
-    return _run(jac_call, x, u, (N_JOINTS, 3 * N_JOINTS))
+    return _run_pair(jac_call, x, u, (N_JOINTS, 3 * N_JOINTS), (N_JOINTS,))
 
 
-def make_ab_composer(fdyn, fjac, integrator: int, dt: float, ns: int, nj: int):
+def make_ab_composer(fdyn, fjac, integrator: int, dt: float, ns: int, nj: int,
+                     fboth=None):
     """Compose batched stage dynamics/Jacobians into the discrete AB = [A | B].
 
     Generic Butcher-stage chain rule (the maps the reference hand-writes in
     integrators.cuh:40-233), independent of what produces the stage values:
       fdyn(x:(B, ns), u:(B, nj)) -> xdot:(B, ns)
       fjac(x, u) -> d xdot / d [x; u]:(B, ns, ns + nj)
+      fboth (optional): (x, u) -> (xdot, F) fused — stages needing both the
+        value and the Jacobian at the same point use it (the Pallas path's
+        jac kernel computes the primal anyway via jax.linearize).
     The stage compositions are (B, ns, ns) x (B, ns, ns+nj) batched matmuls —
     MXU work when B is the whole time axis.
     """
-    E = jnp.concatenate(
-        [jnp.eye(ns, dtype=jnp.float32), jnp.zeros((ns, nj), jnp.float32)], axis=1
+    if fboth is None:
+        def fboth(x, u):
+            return fdyn(x, u), fjac(x, u)
+    # numpy, NOT jnp: these are built at closure-construction time, outside any
+    # trace — jnp here would bake committed device arrays into every jitted
+    # consumer (the sticky-sync-mode pitfall tests/test_no_device_constants.py
+    # guards against); numpy constants become safe HLO literals.
+    E = np.concatenate(
+        [np.eye(ns, dtype=np.float32), np.zeros((ns, nj), np.float32)], axis=1
     )  # d x / d [x; u]
-    U = jnp.concatenate(
-        [jnp.zeros((nj, ns), jnp.float32), jnp.eye(nj, dtype=jnp.float32)], axis=1
+    U = np.concatenate(
+        [np.zeros((nj, ns), np.float32), np.eye(nj, dtype=np.float32)], axis=1
     )  # d u / d [x; u]
 
     def chain(F, Dx):
@@ -162,17 +202,15 @@ def make_ab_composer(fdyn, fjac, integrator: int, dt: float, ns: int, nj: int):
         if integrator == 1:  # Euler (integrators.cuh:40-53)
             return E + dt * fjac(x, u)
         if integrator == 2:  # Midpoint (integrators.cuh:84-120)
-            k1 = fdyn(x, u)
-            Dk1 = fjac(x, u)
+            k1, Dk1 = fboth(x, u)
             xm = x + (0.5 * dt) * k1
             Dk2 = chain(fjac(xm, u), E + (0.5 * dt) * Dk1)
             return E + dt * Dk2
         if integrator == 3:  # RK3 (integrators.cuh:159-233, exact stage points)
-            k1 = fdyn(x, u)
-            Dk1 = fjac(x, u)
+            k1, Dk1 = fboth(x, u)
             x2 = x + (0.5 * dt) * k1
-            k2 = fdyn(x2, u)
-            Dk2 = chain(fjac(x2, u), E + (0.5 * dt) * Dk1)
+            k2, F2 = fboth(x2, u)
+            Dk2 = chain(F2, E + (0.5 * dt) * Dk1)
             x3 = x + dt * (2.0 * k2 - k1)
             Dk3 = chain(fjac(x3, u), E + dt * (2.0 * Dk2 - Dk1))
             return E + (dt / 6.0) * (Dk1 + 4.0 * Dk2 + Dk3)
@@ -193,17 +231,25 @@ def make_kuka_ab_pallas(ee_type: int, gravity: float, integrator: int, dt: float
     """
     ns, nj = 2 * N_JOINTS, N_JOINTS
 
+    def _lift_jac(J, b):
+        # F = d xdot / d [x; u]: rows [qd; qdd] -> [[0 I 0]; [J_qdd]], (B, 14, 21)
+        top = jnp.zeros((b, nj, ns + nj), J.dtype)
+        top = top.at[:, :, nj:ns].set(jnp.eye(nj, dtype=J.dtype))
+        return jnp.concatenate([top, J], axis=1)
+
     def fdyn(x, u):
         # continuous xdot = [qd; qdd], batched
         qdd = kuka_qdd_pallas(x, u, ee_type, gravity, interpret)
         return jnp.concatenate([x[:, nj:], qdd], axis=1)
 
     def fjac(x, u):
-        # F = d xdot / d [x; u]: rows [qd; qdd] -> [[0 I 0]; [J_qdd]], (B, 14, 21)
         J = kuka_qdd_jac_pallas(x, u, ee_type, gravity, interpret)
-        b = x.shape[0]
-        top = jnp.zeros((b, nj, ns + nj), J.dtype)
-        top = top.at[:, :, nj:ns].set(jnp.eye(nj, dtype=J.dtype))
-        return jnp.concatenate([top, J], axis=1)
+        return _lift_jac(J, x.shape[0])
 
-    return make_ab_composer(fdyn, fjac, integrator, dt, ns, nj)
+    def fboth(x, u):
+        # one fused kernel: Jacobian + the primal qdd it linearized around
+        J, qdd = kuka_jac_qdd_pallas(x, u, ee_type, gravity, interpret)
+        xdot = jnp.concatenate([x[:, nj:], qdd], axis=1)
+        return xdot, _lift_jac(J, x.shape[0])
+
+    return make_ab_composer(fdyn, fjac, integrator, dt, ns, nj, fboth=fboth)

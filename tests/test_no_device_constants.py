@@ -105,3 +105,46 @@ def test_mpc_step_no_device_constants():
         jnp.asarray(2, jnp.int32)
     )
     _assert_clean(jaxpr, "MPC step")
+
+
+def test_ab_composer_and_hooked_solver_no_device_constants():
+    """The batched-derivative production path (ops/pallas_rbd.make_ab_composer
+    and a Plant.batched_step_jac-hooked solver) must not capture device
+    constants either — its E/U closure matrices are built outside the trace."""
+    from parallel_ddp_tpu.models.base import Plant
+    from parallel_ddp_tpu.ops.integrators import make_step_jacobian
+    from parallel_ddp_tpu.ops.pallas_rbd import make_ab_composer
+    from parallel_ddp_tpu.presets import pendulum_swingup
+    from parallel_ddp_tpu.solver import make_ilqr_solver
+
+    def dynamics(x, u):
+        q, qd = x[:2], x[2:]
+        return -3.0 * jnp.sin(q) - 0.2 * qd + u
+
+    def xdot(x, u):
+        return jnp.concatenate([x[2:], dynamics(x, u)])
+
+    def jac1(x, u):
+        dx, du = jax.jacfwd(xdot, argnums=(0, 1))(x, u)
+        return jnp.concatenate([dx, du], axis=1)
+
+    for integrator in (1, 2, 3):
+        ab = make_ab_composer(jax.vmap(xdot), jax.vmap(jac1), integrator,
+                              0.01, ns=4, nj=2)
+        jaxpr = jax.make_jaxpr(ab)(jnp.zeros((7, 4)), jnp.zeros((7, 2)))
+        _assert_clean(jaxpr, f"make_ab_composer(integrator={integrator})")
+
+    prob = pendulum_swingup(num_time_steps=8, m_blocks=2, num_alpha=2)
+    base = prob.plant
+    hooked = dataclasses.replace(
+        base,
+        batched_step_jac=lambda integ, dt: jax.vmap(
+            make_step_jacobian(base, integ, dt)
+        ),
+    )
+    cfg = dataclasses.replace(prob.cfg, max_iter=2)
+    solver = make_ilqr_solver(hooked, prob.cost, cfg)
+    jaxpr = jax.make_jaxpr(
+        lambda x, u, g: solver(x, u, g, initial_rollout=True)
+    )(jnp.zeros((8, 2)), jnp.zeros((8, 1)), jnp.zeros(2))
+    _assert_clean(jaxpr, "batched_step_jac-hooked solver")
