@@ -16,7 +16,12 @@ from typing import Optional, Tuple
 import numpy as np
 
 _LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_PATH = os.path.abspath(os.path.join(_LIB_DIR, "libddprt.so"))
+# repo layout (and editable installs) find the lib next to the package; a
+# site-packages install points at its build with PDDP_NATIVE_LIB
+_LIB_PATH = os.environ.get(
+    "PDDP_NATIVE_LIB",
+    os.path.abspath(os.path.join(_LIB_DIR, "libddprt.so")),
+)
 
 
 class Channels:
