@@ -111,8 +111,16 @@ class MPCController:
         # reference checks gettimeofday between phases (USE_MAX_SOLVER_TIME,
         # MPCHelpers.cuh:916-1001); a compiled TPU loop can't read the clock,
         # so a time budget becomes a traced iteration cap time/per_iter —
-        # see step(time_limit_ms=...).  Calibrated from live solves.
+        # see step(time_limit_ms=...).  Calibrated from live solves as a
+        # two-parameter fit wall = overhead + per_iter*iters over the MINIMUM
+        # observed wall per iteration count: the min rejects one-off spikes
+        # (mid-loop recompiles, scheduler hiccups) that would otherwise
+        # permanently ratchet the iteration cap down, and separating the fixed
+        # dispatch overhead keeps a large per-solve overhead (e.g. a remote
+        # device tunnel) from masquerading as per-iteration cost.
         self.per_iter_ms: Optional[float] = None
+        self.overhead_ms: float = 0.0  # fixed per-solve dispatch/transport cost
+        self._timing_min_ms: dict = {}  # iters -> min observed solve wall (ms)
 
     def init_state(self, x_actual, t0: float = 0.0, goal=None,
                    weights: Optional[CostWeights] = None,
@@ -158,12 +166,8 @@ class MPCController:
             # the whole horizon is one contiguous simulation: zero defects
             d = jnp.zeros_like(st.d)
         else:
-            # shifting moves the old defects off the (fixed) block boundaries;
-            # the first boundary's defect is known exactly because block 0 was
-            # just re-simulated: one more step vs the stored next-block start
+            # shifting moves the old defects off the (fixed) block boundaries
             d = _shift(st.d, s)
-            b0 = self.cfg.n_blocks_f - 1
-            d = d.at[b0].set(self._step_fn(x_last, u[b0]) - x[b0 + 1])
             # boundaries that landed in the ZOH tail (k + s >= N-1) repeat the
             # final state on both sides, so the shifted defect reads zero while
             # the true defect there is step(x[N-1], u[N-1]) - x[N-1] (the tail
@@ -176,6 +180,12 @@ class MPCController:
             d = d.at[bidx].set(
                 jnp.where(in_tail[:, None], d_tail[None, :], d[bidx])
             )
+            # the first boundary's defect is known exactly because block 0 was
+            # just re-simulated from the measured state: one more step vs the
+            # stored next-block start.  Written LAST: the exact value must win
+            # over the tail approximation above (bidx includes this boundary)
+            b0 = self.cfg.n_blocks_f - 1
+            d = d.at[b0].set(self._step_fn(x_last, u[b0]) - x[b0 + 1])
         return x, u, k_mat, p_mat, p_vec, d
 
     def _mpc_step(self, st: MPCState, x_actual, t_now, goal, weights, iter_limit):
@@ -245,7 +255,8 @@ class MPCController:
         if iter_limit is not None:
             cap = min(cap, int(iter_limit))
         if time_limit_ms is not None and self.per_iter_ms:
-            cap = min(cap, max(1, int(time_limit_ms / self.per_iter_ms)))
+            budget = time_limit_ms - self.overhead_ms
+            cap = min(cap, max(1, int(budget / self.per_iter_ms)))
         return jnp.asarray(max(1, cap), jnp.int32)
 
     def warmup(self, st: MPCState, goal, weights: Optional[CostWeights] = None):
@@ -261,9 +272,28 @@ class MPCController:
 
     def calibrate_timing(self, solve_ms: float, iters: int):
         """Record a measured (solve wall time, iterations executed) pair to
-        build the per-iteration latency model used by time_limit_ms budgets."""
-        if iters > 0:
-            self.per_iter_ms = solve_ms / iters
+        build the per-iteration latency model used by time_limit_ms budgets.
+
+        Callers must measure wall time around a SYNCED solve (read a result
+        first) or the async-dispatch wall under-measures.  With samples at two
+        or more distinct iteration counts the fixed per-solve overhead is
+        separated out by a two-point secant over the per-count minima; with
+        one count, wall/iters is the (conservative) fallback."""
+        if iters <= 0:
+            return
+        prev = self._timing_min_ms.get(iters)
+        if prev is None or solve_ms < prev:
+            self._timing_min_ms[iters] = solve_ms
+        pts = sorted(self._timing_min_ms.items())
+        if len(pts) >= 2:
+            (i_lo, w_lo), (i_hi, w_hi) = pts[0], pts[-1]
+            slope = (w_hi - w_lo) / (i_hi - i_lo)
+            if slope > 0:
+                self.per_iter_ms = slope
+                self.overhead_ms = max(0.0, w_lo - slope * i_lo)
+                return
+        self.per_iter_ms = min(w / i for i, w in pts)
+        self.overhead_ms = 0.0
 
     def step(self, st: MPCState, x_actual, t_now, goal,
              weights: Optional[CostWeights] = None,

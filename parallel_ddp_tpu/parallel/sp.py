@@ -48,7 +48,6 @@ from parallel_ddp_tpu.config import CostWeights, SolveOutput, SolverConfig
 from parallel_ddp_tpu.costs.base import CostModel
 from parallel_ddp_tpu.models.base import Plant
 from parallel_ddp_tpu.ops.integrators import make_step, make_step_jacobian
-from parallel_ddp_tpu.ops.linalg import chol_solve_unrolled  # noqa: F401 (re-export path)
 from parallel_ddp_tpu.parallel.backward import make_riccati_step, run_block
 from parallel_ddp_tpu.parallel.forward import line_search
 

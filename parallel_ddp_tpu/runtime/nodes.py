@@ -68,8 +68,11 @@ class MPCLoopNode:
         self.fail_count = 0
         # live solver params (lcmt_solver_params, applied per-solve without
         # recompile: iterLimit/timeLimit as a traced iteration cap,
-        # useCostShift through the goal pytree — LCMHelpers.cuh:204-214,213)
-        self.solver_params = msg.SolverParams()
+        # useCostShift through the goal pytree — LCMHelpers.cuh:204-214,213).
+        # None until a message arrives: the controller's own MPCConfig budget
+        # governs by default, so running a node never silently imposes the
+        # message-type's defaults on a user-configured controller
+        self.solver_params: Optional[msg.SolverParams] = None
         for ch in (Channels.STATUS, Channels.GOAL, Channels.COST_PARAMS,
                    Channels.SOLVER_PARAMS):
             bus.subscribe(ch)
@@ -89,11 +92,17 @@ class MPCLoopNode:
                 self.state = None  # force re-init on next status
 
     def _goal_pytree(self):
-        """User goal pytree + the live cost-shift (dict goals only)."""
+        """User goal pytree + the live cost-shift (dict goals only).
+
+        The cost_shift leaf is ALWAYS present for dict goals (defaulting to 0
+        = the cost model's no-shift behavior): adding/removing a pytree leaf
+        changes the program structure, and a mid-loop useCostShift toggle must
+        stay a traced-value change, not a multi-second recompile stall."""
         goal_pt = self.goal_to_pytree(self.goal)
-        if isinstance(goal_pt, dict) and self.solver_params.cost_shift:
+        if isinstance(goal_pt, dict):
             goal_pt = dict(goal_pt)
-            goal_pt["cost_shift"] = np.int32(self.solver_params.cost_shift)
+            shift = self.solver_params.cost_shift if self.solver_params else 0
+            goal_pt["cost_shift"] = np.int32(shift)
         return goal_pt
 
     def run(self, stop: threading.Event, poll_s: float = 0.0005):
@@ -119,15 +128,19 @@ class MPCLoopNode:
                 self.state = self.ctrl.init_state(
                     status.x, t0=status.utime, goal=goal_pt, weights=self.weights
                 )
+            sp = self.solver_params
             t_solve0 = time.perf_counter()
             self.state, info = self.ctrl.step(
                 self.state, status.x, status.utime, goal_pt, self.weights,
-                iter_limit=self.solver_params.iter_limit,
-                time_limit_ms=self.solver_params.time_limit_ms,
+                iter_limit=sp.iter_limit if sp else None,
+                time_limit_ms=sp.time_limit_ms if sp else None,
             )
-            # keep the wall-clock -> iteration budget model calibrated
+            # keep the wall-clock -> iteration budget model calibrated; read
+            # the iteration count FIRST — it forces the device sync, so the
+            # wall measurement covers true solve completion, not async dispatch
+            iters_done = int(info.iters)
             self.ctrl.calibrate_timing(
-                (time.perf_counter() - t_solve0) * 1e3, int(info.iters)
+                (time.perf_counter() - t_solve0) * 1e3, iters_done
             )
             self.solve_count += 1
             if not bool(info.ok):
@@ -206,7 +219,11 @@ class SimulatorNode:
     def tick(self):
         m = self.bus.poll_new(Channels.COMMAND)
         if m:
-            self.u = msg.Command.unpack(m[0]).tau
+            # either command flavor can drive the plant: Command (solver
+            # stacks) or CommandHardware (hardware-shaped stacks, e.g.
+            # TrajPlaybackNode's default) — both carry joint torques
+            cmd = msg.unpack_any(m[0])
+            self.u = cmd.tau
             self.commanded = True
         if self.commanded or not self.hold_until_command:
             self.x = self.sim.step(self.x, self.u)

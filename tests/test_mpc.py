@@ -154,3 +154,56 @@ def test_mpc_state_checkpoint_roundtrip(tmp_path):
     a, _ = ctrl.step(st, x, 1.6, goal)
     b, _ = ctrl.step(st2, x, 1.6, goal)
     np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u), atol=0)
+
+
+def test_calibrate_timing_model():
+    """The wall-clock budget model must (a) reject one-off spikes (mid-loop
+    recompiles) via per-count minima, (b) separate fixed per-solve overhead
+    (e.g. a remote-device tunnel) from marginal per-iteration cost with a
+    two-point fit, so the iteration cap can recover instead of ratcheting
+    to 1 forever."""
+    ctrl = _controller()
+
+    # single iteration count: conservative wall/iters fallback
+    ctrl.calibrate_timing(12.0, 6)
+    assert abs(ctrl.per_iter_ms - 2.0) < 1e-9
+    # a 500 ms recompile spike at the same count must not move the model
+    ctrl.calibrate_timing(500.0, 6)
+    assert abs(ctrl.per_iter_ms - 2.0) < 1e-9
+
+    # second count: secant separates overhead 6 ms + 1 ms/iter
+    ctrl.calibrate_timing(7.0, 1)
+    assert abs(ctrl.per_iter_ms - 1.0) < 1e-9
+    assert abs(ctrl.overhead_ms - 6.0) < 1e-9
+
+    # a 10 ms budget now buys (10-6)/1 = 4 iterations, not 10/7 = 1
+    cap = int(ctrl._resolve_iter_limit(None, 10.0))
+    assert cap == 4
+
+
+def test_warm_start_tail_defect_keeps_exact_first_boundary():
+    """With full_rollout=False and a shift that pushes every boundary into the
+    ZOH tail, the first boundary's defect must stay the EXACT re-simulated
+    value (block 0 is re-rolled from the measured state), not the tail
+    approximation (reference recomputes via defectKern, fpHelpers.cuh:94-127)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    ctrl = _controller()
+    ctrl.mpc = dataclasses.replace(ctrl.mpc, full_rollout=False)
+    n, ns, nc = ctrl.cfg.num_time_steps, 2, 1
+    rng = np.random.default_rng(0)
+    st = ctrl.init_state(np.asarray([1.0, 0.0], np.float32), t0=0.0,
+                         goal=jnp.asarray([np.pi, 0.0]), warmup_iters=2)
+    st = st._replace(d=jnp.asarray(rng.standard_normal(st.d.shape), jnp.float32))
+
+    x_actual = jnp.asarray([1.2, -0.1], jnp.float32)
+    s = jnp.asarray(n - 1, jnp.int32)  # max shift: every boundary in the tail
+    x_w, u_w, *_rest, d_w = ctrl._warm_start(st, x_actual, s)
+
+    b0 = ctrl.cfg.n_blocks_f - 1
+    x_last = x_w[b0]  # last state of the re-simulated first block
+    exact = ctrl._step_fn(x_last, u_w[b0]) - x_w[b0 + 1]
+    np.testing.assert_allclose(np.asarray(d_w[b0]), np.asarray(exact),
+                               rtol=1e-6, atol=1e-6)

@@ -215,3 +215,54 @@ def test_traj_playback_node():
     assert got[0].utime >= 3.25
     bus_a.close()
     bus_b.close()
+
+
+def test_simulator_node_accepts_hardware_command():
+    """SimulatorNode must consume BOTH command flavors: Command (solver
+    stacks) and CommandHardware (hardware-shaped stacks, TrajPlaybackNode's
+    default) — a hardware-mode playback against the simulator previously
+    killed the node with a ValueError."""
+    from parallel_ddp_tpu.models import pendulum
+    from parallel_ddp_tpu.runtime.nodes import SimulatorNode
+
+    pub = PubSub(port=PORT + 3)
+    bus = PubSub(port=PORT + 3)
+    node = SimulatorNode(pendulum(), bus, np.zeros(2, np.float32),
+                         rate_hz=100.0, realtime=False)
+    pub.publish(Channels.COMMAND,
+                msg.CommandHardware(0.0, np.zeros(1, np.float32),
+                                    np.asarray([0.7], np.float32)).pack())
+    time.sleep(0.05)
+    node.tick()
+    assert node.commanded and abs(node.u[0] - 0.7) < 1e-6
+
+    pub.publish(Channels.COMMAND,
+                msg.Command(0.01, np.asarray([0.3], np.float32)).pack())
+    time.sleep(0.05)
+    node.tick()
+    assert abs(node.u[0] - 0.3) < 1e-6
+    pub.close(); bus.close()
+
+
+def test_mpc_loop_node_goal_pytree_structure_stable():
+    """Toggling useCostShift (or never receiving SOLVER_PARAMS at all) must
+    not change the goal pytree STRUCTURE — a leaf-set change would force a
+    full solver recompile mid real-time loop."""
+    import jax
+
+    from parallel_ddp_tpu.runtime.nodes import MPCLoopNode
+
+    bus = PubSub(port=PORT + 4)
+    node = MPCLoopNode.__new__(MPCLoopNode)  # structure test: no controller
+    node.goal_to_pytree = lambda g: {"ee_goal": np.zeros(6, np.float32)}
+    node.goal = msg.Goal(msg.Goal.MODE_EE_POSE, np.zeros(6, np.float32))
+    node.solver_params = None
+    s0 = jax.tree_util.tree_structure(node._goal_pytree())
+    assert node._goal_pytree()["cost_shift"] == 0
+
+    node.solver_params = msg.SolverParams(cost_shift=3)
+    assert node._goal_pytree()["cost_shift"] == 3
+    node.solver_params = msg.SolverParams(cost_shift=0)
+    s_off = jax.tree_util.tree_structure(node._goal_pytree())
+    assert s_off == s0
+    bus.close()
