@@ -109,6 +109,21 @@ def _run_device_loop(args):
     accepts = np.asarray(res_track.ok)
     avg_err = float(np.mean(errors))
     solve_ms = wall * 1000.0 / n_track
+    if getattr(args, "save_log", None):
+        # experiment log for the plotting script (the reference archives its
+        # runs as comments + 3-D matplotlib plots, test/WAFR_fig8.py:5-12;
+        # ours saves the raw series for examples/plot_fig8.py)
+        ee_xyz = np.asarray(
+            jax.vmap(lambda x: prob.plant.ee_pos(x[:7]))(res_track.x)
+        )[:, :3]
+        times = t_settle + (np.arange(n_track) + 1) * args.control_period
+        np.savez(
+            args.save_log,
+            t=times, ee_xyz=ee_xyz,
+            goal_xyz=np.asarray(goals_track["ee_goal"])[:, :3],
+            ee_err=errors, ok=accepts,
+            per_control_step_ms=solve_ms,
+        )
     result = {
         "metric": "kuka_fig8_avg_ee_tracking_error",
         "value": round(avg_err, 4),
@@ -136,6 +151,9 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--settle-time", type=float, default=4.0)
     ap.add_argument("--device-loop", action="store_true")
+    ap.add_argument("--save-log", default=None, metavar="PATH.npz",
+                    help="save the tracking-run series for examples/plot_fig8.py"
+                         " (device-loop mode)")
     args = ap.parse_args()
 
     if args.device_loop:

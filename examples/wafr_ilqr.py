@@ -104,6 +104,10 @@ def main():
 
     jt = np.stack(j_traces)  # (trials, max_iter+1), NaN after exit
     med_trace = np.nanmedian(jt, axis=0)
+    # BASELINE's convergence-parity metric (see benchmarks/convergence.py)
+    from benchmarks.convergence import iters_to_frac
+
+    it1pct = np.asarray([iters_to_frac(j) for j in j_traces], np.float64)
 
     result = {
         "plant": args.plant,
@@ -111,6 +115,8 @@ def main():
         "solve_time": timing_stats(trace.wall_s),
         "iters": {"median": float(np.median(trace.iters)),
                   "max": int(np.max(trace.iters))},
+        "iters_to_1pct_cost": {"median": float(np.median(it1pct)),
+                               "max": int(it1pct.max())},
         "J_final": {"median": float(np.median(trace.J)),
                     "std": float(np.std(trace.J))},
         "median_J_per_iter": [round(float(v), 3) for v in med_trace
