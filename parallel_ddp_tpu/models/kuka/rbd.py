@@ -72,31 +72,41 @@ def _xform_force_to_parent(r_cl, p_cl, n, f):
     return n_p, f_p
 
 
-class KukaRBD:
-    """Bound constants + pure dynamics functions for one parameter set."""
+class SerialArmRBD:
+    """Spatial-algebra RBD for ANY revolute serial chain (n joints about local z).
 
-    def __init__(self, ee_type: int = 1, gravity: float = 9.81, dtype=jnp.float32):
-        r_tree, p_tree, i_sp, ee_off, grav = kp.build_constants(ee_type, gravity)
+    Constants are (n,3,3) fixed parent->child rotations, (n,3) joint origins,
+    (n,6,6) spatial inertias at the link frames, and a (3,) end-effector offset
+    in the last link frame — exactly the quantities a URDF provides (see
+    models/urdf.py, the reference README's roadmap item README.md:41).
+    """
+
+    def __init__(self, r_tree, p_tree, i_spatial, ee_offset, gravity,
+                 dtype=jnp.float32, ee_rot=None):
         # numpy, not device arrays: these constants are captured by jitted
         # closures, and captured device arrays hit the axon TPU tunnel's slow
         # dispatch path (see config.py alphas docstring)
         np_dtype = np.dtype(dtype)
         self.r_tree = np.asarray(r_tree, np_dtype)
         self.p_tree = np.asarray(p_tree, np_dtype)
-        self.i_spatial = np.asarray(i_sp, np_dtype)
-        self.ee_offset = np.asarray(ee_off, np_dtype)
-        self.gravity = grav
+        self.i_spatial = np.asarray(i_spatial, np_dtype)
+        self.ee_offset = np.asarray(ee_offset, np_dtype)
+        # tip-frame orientation in the last link frame (URDF tool frames)
+        self.ee_rot = (np.eye(3, dtype=np_dtype) if ee_rot is None
+                       else np.asarray(ee_rot, np_dtype))
+        self.gravity = gravity
         self.dtype = dtype
+        self.n = int(self.r_tree.shape[0])
 
     # ---------- kinematics ----------
 
     def link_frames(self, q):
-        """World pose of each link frame: (R (7,3,3), p (7,3))."""
+        """World pose of each link frame: (R (n,3,3), p (n,3))."""
         rz = _joint_rots(q)
         rs, ps = [], []
         r_w = jnp.eye(3, dtype=q.dtype)
         p_w = jnp.zeros(3, dtype=q.dtype)
-        for i in range(N_JOINTS):
+        for i in range(self.n):
             r_l = self.r_tree[i] @ rz[i]  # child frame in parent (joint rotation about child z)
             p_w = p_w + r_w @ self.p_tree[i]
             r_w = r_w @ r_l
@@ -109,8 +119,8 @@ class KukaRBD:
         (atan2(R21,R22), atan2(-R20, sqrt(R21^2+R22^2)), atan2(R10,R00)),
         dynamics_arm.cuh:1890-1895."""
         rs, ps = self.link_frames(q)
-        r = rs[-1]
-        pos = ps[-1] + r @ self.ee_offset
+        pos = ps[-1] + rs[-1] @ self.ee_offset
+        r = rs[-1] @ self.ee_rot
         roll = jnp.arctan2(r[2, 1], r[2, 2])
         pitch = jnp.arctan2(-r[2, 0], jnp.sqrt(r[2, 1] ** 2 + r[2, 2] ** 2))
         yaw = jnp.arctan2(r[1, 0], r[0, 0])
@@ -119,7 +129,7 @@ class KukaRBD:
     def ee_velocity(self, x):
         """(6,) EE [linear velocity; rpy rates] = d(ee_pose)/dt (exact — the
         reference's rpy rates are broken, README.md:38)."""
-        q, qd = x[:N_JOINTS], x[N_JOINTS:]
+        q, qd = x[: self.n], x[self.n :]
         return jax.jvp(self.ee_pose, (q,), (qd,))[1]
 
     # ---------- dynamics ----------
@@ -142,7 +152,7 @@ class KukaRBD:
         dw = jnp.zeros(3, dtype)
         dv = jnp.array([0.0, 0.0, self.gravity], dtype)  # -g base acceleration trick
         e3 = jnp.array([0.0, 0.0, 1.0], dtype)
-        for i in range(N_JOINTS):
+        for i in range(self.n):
             w, v = _xform_motion(r_cl[i], p_cl[i], w, v)
             dw, dv = _xform_motion(r_cl[i], p_cl[i], dw, dv)
             # velocity-product acceleration: v_i x S qd_i  (qdd = 0)
@@ -157,7 +167,7 @@ class KukaRBD:
 
         # --- per-link bias forces: f = I a + v x* (I v) ---
         fs = []
-        for i in range(N_JOINTS):
+        for i in range(self.n):
             ii = self.i_spatial[i]
             mv = jnp.concatenate([ws[i], vs[i]])
             ma = jnp.concatenate([dws[i], dvs[i]])
@@ -169,10 +179,10 @@ class KukaRBD:
             fs.append(fa + jnp.concatenate([n_c, f_c]))
 
         # --- backward sweep: bias torques ---
-        c_out = [None] * N_JOINTS
+        c_out = [None] * self.n
         n_acc = jnp.zeros(3, dtype)
         f_acc = jnp.zeros(3, dtype)
-        for i in reversed(range(N_JOINTS)):
+        for i in reversed(range(self.n)):
             n_tot = fs[i][:3] + n_acc
             f_tot = fs[i][3:] + f_acc
             c_out[i] = n_tot[2]  # S^T f with S = z rotation
@@ -180,8 +190,8 @@ class KukaRBD:
         c_vec = jnp.stack(c_out)
 
         # --- CRBA: composite inertias then M ---
-        ic = [self.i_spatial[i] for i in range(N_JOINTS)]
-        for i in reversed(range(1, N_JOINTS)):
+        ic = [self.i_spatial[i] for i in range(self.n)]
+        for i in reversed(range(1, self.n)):
             # transform Ic_i into parent frame: X^F Ic X^M
             r, p = r_cl[i], p_cl[i]
             px = _skew(p)
@@ -193,9 +203,9 @@ class KukaRBD:
 
         m_rows = []
         # S_i in own frame = e3 angular; propagate F = Ic_i S_i down to ancestors
-        for i in range(N_JOINTS):
+        for i in range(self.n):
             f6 = ic[i][:, 2]  # Ic_i @ [e3; 0]
-            m_i = [jnp.zeros((), dtype)] * N_JOINTS
+            m_i = [jnp.zeros((), dtype)] * self.n
             m_i[i] = f6[2]
             n_f, f_f = f6[:3], f6[3:]
             for j in reversed(range(i)):
@@ -208,7 +218,7 @@ class KukaRBD:
 
     def forward_dynamics(self, x, u):
         """qdd = M^{-1} (u - C) (dynamics_arm.cuh:2095-2163)."""
-        q, qd = x[:N_JOINTS], x[N_JOINTS:]
+        q, qd = x[: self.n], x[self.n :]
         c_vec, m_mat = self.bias_and_mass(q, qd)
         chol = jnp.linalg.cholesky(m_mat)
         return jax.scipy.linalg.cho_solve((chol, True), u - c_vec)
@@ -217,3 +227,11 @@ class KukaRBD:
         """tau = M qdd + C (for testing)."""
         c_vec, m_mat = self.bias_and_mass(q, qd)
         return m_mat @ qdd + c_vec
+
+
+class KukaRBD(SerialArmRBD):
+    """SerialArmRBD bound to the iiwa-14 constants (params.build_constants)."""
+
+    def __init__(self, ee_type: int = 1, gravity: float = 9.81, dtype=jnp.float32):
+        r_tree, p_tree, i_sp, ee_off, grav = kp.build_constants(ee_type, gravity)
+        super().__init__(r_tree, p_tree, i_sp, ee_off, grav, dtype=dtype)
