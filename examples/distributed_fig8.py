@@ -45,6 +45,7 @@ def main():
         MPCLoopNode,
         SimulatorNode,
         TrajRunnerNode,
+        normalize_goal_pytree,
     )
     from parallel_ddp_tpu.runtime.pubsub import Channels, PubSub
 
@@ -66,8 +67,11 @@ def main():
 
     # pre-compile before going live (a loop that compiles on its first status
     # runs the plant open-loop for the whole compile time)
-    st = ctrl.init_state(x_init, t0=0.0, goal=goal_to_pytree(goal0), weights=w)
-    ctrl.warmup(st, goal_to_pytree(goal0), w)
+    # normalize_goal_pytree: warm up with the exact treedef the node solves
+    # with (it injects a cost_shift leaf), else this compile is thrown away
+    goal_pt0 = normalize_goal_pytree(goal_to_pytree(goal0))
+    st = ctrl.init_state(x_init, t0=0.0, goal=goal_pt0, weights=w)
+    ctrl.warmup(st, goal_pt0, w)
 
     bus_solver = PubSub(port=args.port)
     bus_runner = PubSub(port=args.port)

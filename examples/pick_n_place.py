@@ -86,6 +86,7 @@ def run_distributed(args):
         SimulatorNode,
         TrajRunnerNode,
         ee_goal_to_pytree,
+        normalize_goal_pytree,
     )
     from parallel_ddp_tpu.runtime.pubsub import PubSub
     from parallel_ddp_tpu.tasks.pick_and_place import (
@@ -118,8 +119,10 @@ def run_distributed(args):
     )
 
     # pre-compile before going live
-    st = ctrl.init_state(x_init, t0=0.0, goal=ee_goal_to_pytree(goal0), weights=w)
-    ctrl.warmup(st, ee_goal_to_pytree(goal0), w)
+    # warm up with the node's exact goal treedef (cost_shift leaf included)
+    goal_pt0 = normalize_goal_pytree(ee_goal_to_pytree(goal0))
+    st = ctrl.init_state(x_init, t0=0.0, goal=goal_pt0, weights=w)
+    ctrl.warmup(st, goal_pt0, w)
 
     node_solver = MPCLoopNode(ctrl, bus_solver, ee_goal_to_pytree, goal0, weights=w)
     node_runner = TrajRunnerNode(14, 7, bus_runner)

@@ -22,6 +22,7 @@ cost_arm.cuh:12-25 analog).  Not supported: branching chains without a
 from __future__ import annotations
 
 import dataclasses
+import os
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -29,6 +30,11 @@ import numpy as np
 from parallel_ddp_tpu.models.base import Plant
 from parallel_ddp_tpu.models.kuka.params import rpy_to_rot, skew
 from parallel_ddp_tpu.models.kuka.rbd import SerialArmRBD
+
+
+# packaged iiwa-14 model (generated from models/kuka/params.py's numbers);
+# resolved relative to the installed package, not the cwd
+IIWA14_URDF = os.path.join(os.path.dirname(__file__), "data", "iiwa14.urdf")
 
 
 def _floats(s, n, default=None):
@@ -182,15 +188,24 @@ def _parse(source: str):
     return root.get("name", "urdf_arm"), links, joints
 
 
-def load_urdf(source: str, tip: str | None = None) -> ArmModel:
+def load_urdf(source: str, tip: str | None = None,
+              freeze_branches: bool = False) -> ArmModel:
     """Parse a URDF (path or XML string) into SerialArmRBD constants.
 
     tip: leaf link terminating the chain (required only if the tree branches).
+    Branches OFF the chain are not silently dropped: fixed-mounted subtrees
+    (cameras, counterweights, tool hardware) are lumped into the chain link
+    that carries them; a branch behind a MOVING joint is an error unless
+    freeze_branches=True, which locks such joints at q=0 and lumps the
+    subtree too.
     """
     name, links, joints = _parse(source)
     by_child = {j.child: j for j in joints}
     assert len(by_child) == len(joints), "duplicate child link in joints"
     parents = {j.parent for j in joints}
+    children = {}
+    for j in joints:
+        children.setdefault(j.parent, []).append(j)
 
     if tip is None:
         leaves = [l for l in links if l not in parents and l in by_child]
@@ -207,6 +222,7 @@ def load_urdf(source: str, tip: str | None = None) -> ArmModel:
         chain.append(j)
         link = j.parent
     chain.reverse()
+    on_chain = {j.name for j in chain}
 
     r_tree, p_tree, i_sp, jnames = [], [], [], []
     limits = []
@@ -225,12 +241,34 @@ def load_urdf(source: str, tip: str | None = None) -> ArmModel:
         i6 = _spatial_inertia_full(lk.mass, lk.com, lk.i_com)
         i_sp[-1] = i_sp[-1] + _xform_spatial_inertia(i6, r_lc, p_lc)
 
+    def lump_branches(link_name, r_lc, p_lc):
+        """Fold every OFF-CHAIN subtree hanging on link_name into the current
+        modeled link (pose (r_lc, p_lc) = link_name's frame in that link).
+        Dropping them would leave kilograms out of the mass matrix."""
+        if not i_sp:
+            return  # everything here is still rigid to the fixed base
+        for jj in children.get(link_name, []):
+            if jj.name in on_chain:
+                continue
+            if jj.type != "fixed" and not freeze_branches:
+                raise ValueError(
+                    f"moving joint '{jj.name}' branches off the chain at "
+                    f"link '{link_name}'; a serial-arm model cannot carry it."
+                    " Pass freeze_branches=True to lock it at q=0, or remove"
+                    " the branch from the URDF."
+                )
+            r_c = r_lc @ jj.rot          # frozen moving joint: Rot(axis,0)=I
+            p_c = p_lc + r_lc @ jj.xyz
+            lump(jj.child, r_c, p_c)
+            lump_branches(jj.child, r_c, p_c)
+
     for j in chain:
         # compose the joint origin onto the pending fixed transform
         r_j = r_pre @ j.rot
         p_j = p_pre + r_pre @ j.xyz
         if j.type == "fixed":
             lump(j.child, r_j, p_j)
+            lump_branches(j.child, r_j, p_j)
             r_pre, p_pre = r_j, p_j
             continue
         assert j.type in ("revolute", "continuous"), (
@@ -252,6 +290,7 @@ def load_urdf(source: str, tip: str | None = None) -> ArmModel:
         i6 = _spatial_inertia_full(lk.mass, lk.com, lk.i_com)
         i_sp.append(_xform_spatial_inertia(i6, q_ax.T, np.zeros(3)))
         r_pre, p_pre = q_ax.T, np.zeros(3)
+        lump_branches(j.child, r_pre, p_pre)
 
     assert jnames, "URDF contains no revolute joints on the chain"
     lo, hi, vel, eff = (np.asarray(v, float) for v in zip(*limits))

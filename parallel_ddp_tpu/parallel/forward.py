@@ -26,6 +26,44 @@ from jax import lax
 from parallel_ddp_tpu.config import SolverConfig
 
 
+def sweep_combine(a, b):
+    """Associative composition of affine sweep elements (M, V): e' = M e + V,
+    V batched over alphas.  Shared by the single-program sweep below and the
+    'sp' horizon-sharded sweep (parallel/sp.py) — the two MUST stay the same
+    math (tests/test_sp.py asserts bit-parity between the paths)."""
+    m1, v1 = a
+    m2, v2 = b
+    return (
+        jnp.einsum("...ij,...jk->...ik", m2, m1),
+        jnp.einsum("...ij,...aj->...ai", m2, v1) + v2,
+    )
+
+
+def make_sim_block(step_fn: Callable, nf: int):
+    """Per-(alpha, shooting-block) nonlinear rollout body (forwardSimInner,
+    fpHelpers.cuh:223-275): u_k = u_k - alpha*du_k - K_k (x_k - xp_k), then
+    integrate; the horizon's very last step (k == nf) is never simulated
+    (fpHelpers.cuh:235).  Shared by multiple_shooting_rollout and the 'sp'
+    horizon-sharded rollout (parallel/sp.py)."""
+
+    def sim_block(alpha, x0, u_b, K_b, du_b, xp_b, k_b):
+        def body(x_cur, inp):
+            u_k, K_k, du_k, xp_k, k = inp
+            u_new = u_k - alpha * du_k - K_k @ (x_cur - xp_k)
+            skip = k == nf
+            u_new = jnp.where(skip, u_k, u_new)
+            x_next = step_fn(x_cur, u_new)
+            x_next = jnp.where(skip, x_cur, x_next)
+            return x_next, (x_next, u_new)
+
+        _, (x_next_s, u_new_s) = lax.scan(
+            body, x0, (u_b, K_b, du_b, xp_b, k_b), unroll=4
+        )
+        return x_next_s, u_new_s  # (Nf, n), (Nf, m)
+
+    return sim_block
+
+
 def forward_sweep(
     cfg: SolverConfig,
     ApBK: jnp.ndarray,   # (N, n, n)
@@ -55,16 +93,7 @@ def forward_sweep(
     )
     mats = ApBK[:-1]  # (N-1, n, n)
 
-    def combine(a, b):
-        # elements are (M, V): e_next = M e + V, batched V over alphas
-        m1, v1 = a
-        m2, v2 = b
-        return (
-            jnp.einsum("...ij,...jk->...ik", m2, m1),
-            jnp.einsum("...ij,...aj->...ai", m2, v1) + v2,
-        )
-
-    _, e = lax.associative_scan(combine, (mats, c))
+    _, e = lax.associative_scan(sweep_combine, (mats, c))
     # e[k] = e_{k+1}; prepend e_0 = 0
     e_full = jnp.concatenate([jnp.zeros((1, A, n), x.dtype), e], axis=0)  # (N, A, n)
     return x[None] + jnp.transpose(e_full, (1, 0, 2))
@@ -111,21 +140,7 @@ def multiple_shooting_rollout(
     xp_blk = xp.reshape(M, Nf, n)
     k_blk = jnp.arange(N).reshape(M, Nf)
 
-    def sim_block(alpha, x0, u_b, K_b, du_b, xp_b, k_b):
-        def body(x_cur, inp):
-            u_k, K_k, du_k, xp_k, k = inp
-            u_new = u_k - alpha * du_k - K_k @ (x_cur - xp_k)
-            # the horizon's very last step is never simulated (fpHelpers.cuh:235)
-            skip = k == nf
-            u_new = jnp.where(skip, u_k, u_new)
-            x_next = step_fn(x_cur, u_new)
-            x_next = jnp.where(skip, x_cur, x_next)
-            return x_next, (x_next, u_new)
-
-        _, (x_next_s, u_new_s) = lax.scan(
-            body, x0, (u_b, K_b, du_b, xp_b, k_b), unroll=4
-        )
-        return x_next_s, u_new_s  # (Nf, n), (Nf, m)
+    sim_block = make_sim_block(step_fn, nf)
 
     # vmap over blocks, then alphas
     def sim_all_blocks(alpha, xs_a):

@@ -48,6 +48,7 @@ from parallel_ddp_tpu.config import CostWeights, SolveOutput, SolverConfig
 from parallel_ddp_tpu.costs.base import CostModel
 from parallel_ddp_tpu.models.base import Plant
 from parallel_ddp_tpu.ops.integrators import make_step, make_step_jacobian
+from parallel_ddp_tpu.parallel import forward
 from parallel_ddp_tpu.parallel.backward import make_riccati_step, run_block
 from parallel_ddp_tpu.parallel.forward import line_search
 
@@ -228,14 +229,7 @@ def _make_solve_local(
             + jnp.where(on_boundary[:, None], d_l, 0.0)[:, None, :]
         )  # (Nl, A, n)
 
-        def combine(a, b):
-            m1, v1 = a
-            m2, v2 = b
-            return (
-                jnp.einsum("...ij,...jk->...ik", m2, m1),
-                jnp.einsum("...ij,...aj->...ai", m2, v1) + v2,
-            )
-
+        combine = forward.sweep_combine
         # local inclusive scan over ALL Nl steps (the globally-final step's
         # entry is never consumed: e at global N-1 comes from step N-2)
         Mscan, Vscan = lax.associative_scan(combine, (ApBK_l, c))
@@ -274,20 +268,7 @@ def _make_solve_local(
         xp_blk = xp_l.reshape(Mf_l, Nf, n)
         k_blk = _local_ks(dev).reshape(Mf_l, Nf)
 
-        def sim_block(alpha, x0, u_b, K_b, du_b, xp_b, k_b):
-            def body(x_cur, inp):
-                u_k, K_k, du_k, xp_k, k = inp
-                u_new = u_k - alpha * du_k - K_k @ (x_cur - xp_k)
-                skip = k == nf
-                u_new = jnp.where(skip, u_k, u_new)
-                x_next = step_fn(x_cur, u_new)
-                x_next = jnp.where(skip, x_cur, x_next)
-                return x_next, (x_next, u_new)
-
-            _, (x_next_s, u_new_s) = lax.scan(
-                body, x0, (u_b, K_b, du_b, xp_b, k_b), unroll=4
-            )
-            return x_next_s, u_new_s
+        sim_block = forward.make_sim_block(step_fn, nf)
 
         def sim_all_blocks(alpha, xs_a):
             x0s = xs_a.reshape(Mf_l, Nf, n)[:, 0]

@@ -53,11 +53,26 @@ def ee_goal_to_pytree(goal: msg.Goal, n_state: int = 14):
     return {"ee_goal": np.asarray(goal.value, np.float32), "x_target": xt}
 
 
+def normalize_goal_pytree(goal_pt, cost_shift: int = 0):
+    """Give a dict goal the EXACT pytree structure MPCLoopNode solves with.
+
+    The node always adds a 'cost_shift' leaf to dict goals (so a mid-loop
+    useCostShift toggle is a traced-value change, not a recompile).  Anything
+    compiled against a goal WITHOUT that leaf — ctrl.warmup before starting
+    the node — has a different treedef and its compile is discarded on the
+    first live solve.  Warmup callers must pass their goal through here."""
+    if isinstance(goal_pt, dict) and "cost_shift" not in goal_pt:
+        goal_pt = dict(goal_pt)
+        goal_pt["cost_shift"] = np.int32(cost_shift)
+    return goal_pt
+
+
 class MPCLoopNode:
     def __init__(self, controller: MPCController, bus: PubSub,
                  goal_to_pytree: Callable[[msg.Goal], object],
                  initial_goal: msg.Goal,
-                 weights: Optional[CostWeights] = None):
+                 weights: Optional[CostWeights] = None,
+                 default_cost_shift: int = 0):
         self.ctrl = controller
         self.bus = bus
         self.goal_to_pytree = goal_to_pytree
@@ -73,6 +88,11 @@ class MPCLoopNode:
         # governs by default, so running a node never silently imposes the
         # message-type's defaults on a user-configured controller
         self.solver_params: Optional[msg.SolverParams] = None
+        # the shift used until a SolverParams message arrives; MUST match a
+        # nonzero final_cost_shift configured statically in the cost model,
+        # else the injected leaf (which takes priority in costs/ee.py)
+        # silently disables it
+        self.default_cost_shift = default_cost_shift
         for ch in (Channels.STATUS, Channels.GOAL, Channels.COST_PARAMS,
                    Channels.SOLVER_PARAMS):
             bus.subscribe(ch)
@@ -99,9 +119,10 @@ class MPCLoopNode:
         changes the program structure, and a mid-loop useCostShift toggle must
         stay a traced-value change, not a multi-second recompile stall."""
         goal_pt = self.goal_to_pytree(self.goal)
+        shift = (self.solver_params.cost_shift if self.solver_params
+                 else self.default_cost_shift)
         if isinstance(goal_pt, dict):
             goal_pt = dict(goal_pt)
-            shift = self.solver_params.cost_shift if self.solver_params else 0
             goal_pt["cost_shift"] = np.int32(shift)
         return goal_pt
 

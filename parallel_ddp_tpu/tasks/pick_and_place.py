@@ -224,9 +224,11 @@ def make_pick_place_device_loop(
     sim_step = make_step(plant, sim_integrator, sim_dt)
     w_def = default_weights()
     w_close = close_weights()
-    it_cap = jnp.asarray(
-        min(cfg.iter_limit, ctrl.mpc.max_iters_per_solve), jnp.int32
-    )
+    # numpy, NOT jnp: a jnp scalar made here (outside any trace) is a
+    # committed device-array constant baked into the jitted loop — the
+    # pathological-dispatch pattern tests/test_no_device_constants.py guards
+    # against (its ndim>0 check misses 0-d captures)
+    it_cap = np.int32(min(cfg.iter_limit, ctrl.mpc.max_iters_per_solve))
 
     def one_control_step(carry, _):
         st, x_sim, t, wp_i = carry

@@ -17,10 +17,10 @@ import jax.numpy as jnp
 
 
 def _device_consts(closed_jaxpr):
-    return [
-        c for c in closed_jaxpr.consts
-        if isinstance(c, jax.Array) and np.ndim(c) > 0
-    ]
+    # 0-d captures count too: a jnp scalar made outside the trace is just as
+    # much a committed device constant as a matrix (caught one in
+    # tasks/pick_and_place.py's iteration cap)
+    return [c for c in closed_jaxpr.consts if isinstance(c, jax.Array)]
 
 
 def _assert_clean(closed_jaxpr, what):

@@ -257,6 +257,7 @@ def test_mpc_loop_node_goal_pytree_structure_stable():
     node.goal_to_pytree = lambda g: {"ee_goal": np.zeros(6, np.float32)}
     node.goal = msg.Goal(msg.Goal.MODE_EE_POSE, np.zeros(6, np.float32))
     node.solver_params = None
+    node.default_cost_shift = 0
     s0 = jax.tree_util.tree_structure(node._goal_pytree())
     assert node._goal_pytree()["cost_shift"] == 0
 

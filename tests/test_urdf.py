@@ -22,9 +22,8 @@ import pytest
 
 from parallel_ddp_tpu.models.kuka import params as kp
 from parallel_ddp_tpu.models.kuka.rbd import KukaRBD
+from parallel_ddp_tpu.models.urdf import IIWA14_URDF as IIWA_URDF
 from parallel_ddp_tpu.models.urdf import load_urdf, urdf_plant
-
-IIWA_URDF = "parallel_ddp_tpu/models/data/iiwa14.urdf"
 
 ARM3_URDF = """
 <robot name="arm3">
@@ -225,6 +224,45 @@ def test_branching_needs_tip():
         load_urdf(urdf)
     arm = load_urdf(urdf, tip="tool")
     assert arm.n == 3
+
+
+def test_offchain_fixed_mass_is_lumped():
+    """tip='l3' makes the (mass-carrying) tool an off-chain fixed subtree;
+    the dynamics must EXACTLY match the tip='tool' load, where the same tool
+    is folded as a trailing chain joint — off-chain mass is not dropped."""
+    full = load_urdf(ARM3_URDF)                 # chain runs through the tool
+    cut = load_urdf(ARM3_URDF, tip="l3")        # tool hangs off the chain
+    np.testing.assert_allclose(cut.i_spatial, full.i_spatial, atol=1e-12)
+    np.testing.assert_allclose(cut.ee_offset, np.zeros(3), atol=0)  # tip = l3
+
+    rbd_a, rbd_b = full.rbd(gravity=9.81), cut.rbd(gravity=9.81)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, 6), jnp.float32)
+    u = jnp.asarray(rng.normal(0, 5, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(rbd_a.forward_dynamics(x, u)),
+        np.asarray(rbd_b.forward_dynamics(x, u)), atol=1e-6,
+    )
+
+
+def test_moving_branch_errors_unless_frozen():
+    urdf = ARM3_URDF.replace(
+        "</robot>",
+        '<link name="finger"><inertial><origin xyz="0 0 0.02"/>'
+        '<mass value="0.2"/><inertia ixx="0.0001" ixy="0" ixz="0" '
+        'iyy="0.0001" iyz="0" izz="0.0001"/></inertial></link>'
+        '<joint name="jf" type="revolute"><parent link="l2"/>'
+        '<child link="finger"/><origin xyz="0 0.03 0.1"/>'
+        '<axis xyz="0 0 1"/><limit lower="-1" upper="1" velocity="1" '
+        'effort="5"/></joint></robot>',
+    )
+    with pytest.raises(ValueError, match="moving joint 'jf'"):
+        load_urdf(urdf, tip="tool")
+    frozen = load_urdf(urdf, tip="tool", freeze_branches=True)
+    # frozen finger = the identical URDF with jf declared fixed
+    fixed = load_urdf(urdf.replace('name="jf" type="revolute"',
+                                   'name="jf" type="fixed"'), tip="tool")
+    np.testing.assert_allclose(frozen.i_spatial, fixed.i_spatial, atol=1e-12)
 
 
 def test_urdf_plant_solves():
