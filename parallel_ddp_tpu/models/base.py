@@ -54,6 +54,13 @@ class Plant:
     # once instead of vmapping the per-sample jacfwd — the hook that routes the
     # fused Pallas RBD kernels (ops/pallas_rbd.py) onto the production path.
     batched_step_jac: Optional[Callable[[int, float], Callable]] = None
+    # Optional FUSED multiple-shooting rollout factory:
+    # (integrator, dt, num_time_steps, m_blocks_f) -> fused(x_swept, u, K, du,
+    # xp, alphas) -> (x_next_all, u_new_all), or None if the shape doesn't fit.
+    # Routes the whole forward simulation through ONE kernel per solve instead
+    # of a per-step dispatch chain (ops/pallas_rollout.py — the reference's
+    # fused forwardSimKern, fpHelpers.cuh:223-301).
+    fused_rollout: Optional[Callable[[int, float, int, int], Callable]] = None
 
     def __hash__(self):
         return hash((self.name, self.n_pos, self.n_ctrl))

@@ -55,18 +55,34 @@ def kuka(params: KukaParams | None = None) -> Plant:
     params = params or KukaParams()
     core = params.resolved_core()
     batched_step_jac = None
+    fused_rollout = None
     if core == "pallas":
         from parallel_ddp_tpu.ops.pallas_rbd import make_kuka_ab_pallas
+        from parallel_ddp_tpu.ops.pallas_rollout import make_kuka_fused_rollout
 
         import jax
 
         # per-sample ops (rollouts, EE kinematics) keep the per-backend core;
-        # only the batched derivative stage routes through Pallas
+        # the batched derivative stage AND the multiple-shooting forward sim
+        # route through the fused Pallas kernels
         per_sample = "soa" if jax.default_backend() == "tpu" else "rbd"
         rbd = _rbd(params.ee_type, params.gravity, per_sample)
 
         def batched_step_jac(integrator, dt, _p=params):
             return make_kuka_ab_pallas(_p.ee_type, _p.gravity, integrator, dt)
+
+        def fused_rollout(integrator, dt, num_time_steps, m_blocks_f,
+                          _p=params):
+            # off-TPU there is nothing to fuse (no dispatch cost to save and
+            # interpret-mode would crawl); the XLA scan path is used instead.
+            # Correctness of the kernel itself is covered in interpret mode
+            # by tests/test_pallas_rollout.py.
+            if jax.default_backend() != "tpu":
+                return None
+            return make_kuka_fused_rollout(
+                _p.ee_type, _p.gravity, integrator, dt,
+                num_time_steps, m_blocks_f,
+            )
 
     else:
         rbd = _rbd(params.ee_type, params.gravity, core)
@@ -92,4 +108,5 @@ def kuka(params: KukaParams | None = None) -> Plant:
         alpha_base_default=0.5,
         num_alpha_default=16,
         batched_step_jac=batched_step_jac,
+        fused_rollout=fused_rollout,
     )

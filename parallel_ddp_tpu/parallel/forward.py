@@ -17,7 +17,7 @@ TPU-first structure:
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -117,6 +117,7 @@ def multiple_shooting_rollout(
     du: jnp.ndarray,        # (N, m)
     xp: jnp.ndarray,        # (N, n)
     alphas: jnp.ndarray,    # (A,)
+    fused_sim: Optional[Callable] = None,
 ) -> RolloutResult:
     """Simulate all (alpha, shooting block) pairs (forwardSimInner, fpHelpers.cuh:223-275).
 
@@ -140,16 +141,20 @@ def multiple_shooting_rollout(
     xp_blk = xp.reshape(M, Nf, n)
     k_blk = jnp.arange(N).reshape(M, Nf)
 
-    sim_block = make_sim_block(step_fn, nf)
+    if fused_sim is not None:
+        # one kernel for the whole (alpha, block) grid (forwardSimKern twin)
+        x_next_all, u_new_all = fused_sim(x_swept, u, K, du, xp, alphas)
+    else:
+        sim_block = make_sim_block(step_fn, nf)
 
-    # vmap over blocks, then alphas
-    def sim_all_blocks(alpha, xs_a):
-        x0s = xs_a.reshape(M, Nf, n)[:, 0]  # swept block starts
-        return jax.vmap(sim_block, in_axes=(None, 0, 0, 0, 0, 0, 0))(
-            alpha, x0s, u_blk, K_blk, du_blk, xp_blk, k_blk
-        )
+        # vmap over blocks, then alphas
+        def sim_all_blocks(alpha, xs_a):
+            x0s = xs_a.reshape(M, Nf, n)[:, 0]  # swept block starts
+            return jax.vmap(sim_block, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                alpha, x0s, u_blk, K_blk, du_blk, xp_blk, k_blk
+            )
 
-    x_next_all, u_new_all = jax.vmap(sim_all_blocks)(alphas, x_swept)
+        x_next_all, u_new_all = jax.vmap(sim_all_blocks)(alphas, x_swept)
     # x_next_all: (A, M, Nf, n); u_new_all: (A, M, Nf, m)
 
     xs_blk = x_swept.reshape(A, M, Nf, n)
@@ -298,6 +303,7 @@ def forward_pass(
     Bdu: jnp.ndarray,
     xp: jnp.ndarray,
     alphas: jnp.ndarray,
+    fused_sim: Optional[Callable] = None,
 ) -> RolloutResult:
     """Sweep (if multiple shooting) + rollout for every alpha."""
     if cfg.slq:
@@ -307,5 +313,6 @@ def forward_pass(
     else:
         x_swept = jnp.broadcast_to(x[None], (alphas.shape[0],) + x.shape)
     return multiple_shooting_rollout(
-        cfg, step_fn, stage_cost, x_swept, u, K, du, xp, alphas
+        cfg, step_fn, stage_cost, x_swept, u, K, du, xp, alphas,
+        fused_sim=fused_sim,
     )

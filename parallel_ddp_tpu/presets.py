@@ -103,12 +103,62 @@ def kuka_ee(num_time_steps=64, total_time=0.5, m_blocks=4, num_alpha=16,
     return Problem(plant, cost, cfg)
 
 
-def ee_goal(xyz, rpy=(0.0, 0.0, 0.0), x_target=None):
-    """Goal pytree for the EE cost family."""
+def urdf_problem(source, tip=None, gravity: float = 9.81, ee: bool = False,
+                 num_time_steps=64, total_time=1.0, m_blocks=4, num_alpha=16,
+                 integrator=3, rho_init=5.0, use_limits: bool = False,
+                 safety: float = 0.8):
+    """Problem for ANY revolute serial arm described by a URDF (models/urdf.py).
+
+    ee=True uses the EE-pose cost family with the arm's own kinematics; with
+    use_limits=True the joint position/velocity/effort limits parsed from the
+    URDF feed the limit penalties (the reference hardcodes its limits,
+    cost_arm.cuh:12-25; `safety` is its 0.8 margin factor).
+
+    gravity: for hardware that gravity-compensates in its own controller —
+    the reference's Kuka MPC convention (dynamics_arm.cuh:42-46) — pass
+    gravity=0.  With full gravity the default EE weights' tiny control cost
+    still penalizes holding torque, which drags the optimum below the goal;
+    raise CostWeights appropriately or zero gravity."""
+    import numpy as _np
+
+    from parallel_ddp_tpu.models.urdf import load_urdf
+
+    arm = load_urdf(source, tip=tip)
+    rbd = arm.rbd(gravity=gravity)
+    n = arm.n
+    plant = Plant(
+        name=f"urdf_{arm.name}_{n}dof_g{gravity:g}",
+        n_pos=n, n_ctrl=n,
+        dynamics=rbd.forward_dynamics, ee_pos=rbd.ee_pose,
+        ee_vel=rbd.ee_velocity,
+        rho_init_default=rho_init, num_alpha_default=num_alpha,
+    )
+    cfg = SolverConfig(
+        num_time_steps=num_time_steps, total_time=total_time,
+        m_blocks_b=m_blocks, m_blocks_f=m_blocks, num_alpha=num_alpha,
+        alpha_base=0.5, integrator=integrator, rho_init=rho_init,
+        ee_cost=ee, use_limits=use_limits,
+    )
+    if ee:
+        pos_l = _np.minimum(_np.abs(arm.pos_lower), arm.pos_upper)
+        cost = ee_cost(
+            plant.ee_pos, n, n, num_time_steps,
+            use_limits=use_limits,
+            pos_limits=_np.asarray(pos_l * safety, _np.float32),
+            vel_limits=_np.asarray(arm.vel_limit * safety, _np.float32),
+            torque_limits=_np.asarray(arm.effort_limit * safety, _np.float32),
+        )
+    else:
+        cost = joint_cost(f"{arm.name}_joint", num_time_steps, n, n)
+    return Problem(plant, cost, cfg)
+
+
+def ee_goal(xyz, rpy=(0.0, 0.0, 0.0), x_target=None, n_state: int = 14):
+    """Goal pytree for the EE cost family (n_state for non-Kuka URDF arms)."""
     return {
         "ee_goal": jnp.concatenate([jnp.asarray(xyz, jnp.float32),
                                     jnp.asarray(rpy, jnp.float32)]),
-        "x_target": (jnp.zeros((14,), jnp.float32) if x_target is None
+        "x_target": (jnp.zeros((n_state,), jnp.float32) if x_target is None
                      else jnp.asarray(x_target, jnp.float32)),
     }
 

@@ -118,6 +118,13 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
         step_jac._is_batched = True
     else:
         step_jac = make_step_jacobian(plant, cfg.integrator, cfg.dt)
+    # fused single-kernel forward simulation (forwardSimKern twin) when the
+    # plant ships one and the shape fits; None keeps the XLA scan path
+    fused_sim = None
+    if plant.fused_rollout is not None and not cfg.slq and cfg.m_blocks_f > 0:
+        fused_sim = plant.fused_rollout(
+            cfg.integrator, cfg.dt, cfg.num_time_steps, cfg.m_blocks_f
+        )
     alphas = cfg.alphas()
 
     def solve(
@@ -224,7 +231,7 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
             # FORWARD PASS ------------------------------------------------------
             ro = forward_pass(
                 cfg, step_fn, stage, c.x, c.u, c.d, bp.K, bp.du,
-                bp.ApBK, bp.Bdu, c.xp, alphas,
+                bp.ApBK, bp.Bdu, c.xp, alphas, fused_sim=fused_sim,
             )
             ls = line_search(
                 cfg, ro.J, ro.max_defect, alphas, bp.dJexp, c.prevJ, c.ignore_defect

@@ -1,0 +1,84 @@
+"""Fused Pallas multiple-shooting rollout vs the XLA scan path.
+
+The kernel (ops/pallas_rollout.py) must produce the SAME candidate
+trajectories and controls as forward.multiple_shooting_rollout built on the
+scalar-channel core — same channel math, same integrator formulas, same
+skip-the-last-step masking (forwardSimKern semantics, fpHelpers.cuh:223-301).
+Run in interpret mode on CPU."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallel_ddp_tpu.config import SolverConfig
+from parallel_ddp_tpu.models.kuka.soa import KukaSoA
+from parallel_ddp_tpu.ops.integrators import make_step
+from parallel_ddp_tpu.ops.pallas_rollout import MAX_NB, make_kuka_fused_rollout
+from parallel_ddp_tpu.parallel.forward import make_sim_block
+
+
+def _xla_rollout(step_fn, N, M, x_swept, u, K, du, xp, alphas):
+    Nf = N // M
+    n, m = x_swept.shape[-1], u.shape[-1]
+    sim_block = make_sim_block(step_fn, N - 1)
+    u_blk = u.reshape(M, Nf, m)
+    K_blk = K.reshape(M, Nf, m, n)
+    du_blk = du.reshape(M, Nf, m)
+    xp_blk = xp.reshape(M, Nf, n)
+    k_blk = jnp.arange(N).reshape(M, Nf)
+
+    def sim_all(alpha, xs_a):
+        x0s = xs_a.reshape(M, Nf, n)[:, 0]
+        return jax.vmap(sim_block, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+            alpha, x0s, u_blk, K_blk, du_blk, xp_blk, k_blk
+        )
+
+    return jax.vmap(sim_all)(alphas, x_swept)
+
+
+@pytest.mark.parametrize("integrator", [1, 3])
+def test_fused_rollout_matches_xla(integrator):
+    from parallel_ddp_tpu.models.kuka import kuka, kuka_params
+
+    N, M, A = 4, 2, 3  # tiny: interpret mode is per-op python, uncached
+    # per-sample core MUST be the scalar-channel one (the kernel inlines it)
+    soa = KukaSoA(ee_type=1, gravity=9.81)
+    plant = dataclasses.replace(
+        kuka(kuka_params(core="rbd")), dynamics=soa.forward_dynamics,
+        name="kuka_soa_test",
+    )
+    cfg = SolverConfig(num_time_steps=N, total_time=0.1, m_blocks_b=M,
+                       m_blocks_f=M, num_alpha=A, integrator=integrator)
+    step_fn = make_step(plant, integrator, cfg.dt)
+
+    rng = np.random.default_rng(0)
+    x_swept = jnp.asarray(rng.normal(0, 0.4, (A, N, 14)), jnp.float32)
+    u = jnp.asarray(rng.normal(0, 2.0, (N, 7)), jnp.float32)
+    K = jnp.asarray(rng.normal(0, 0.2, (N, 7, 14)), jnp.float32)
+    du = jnp.asarray(rng.normal(0, 0.5, (N, 7)), jnp.float32)
+    xp = jnp.asarray(rng.normal(0, 0.4, (N, 14)), jnp.float32)
+    alphas = jnp.asarray([1.0, 0.5, 0.25], jnp.float32)
+
+    x_ref, u_ref = _xla_rollout(step_fn, N, M, x_swept, u, K, du, xp, alphas)
+
+    fused = make_kuka_fused_rollout(1, 9.81, integrator, cfg.dt, N, M,
+                                    interpret=True)
+    assert fused is not None
+    x_f, u_f = fused(x_swept, u, K, du, xp, alphas)
+
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_rollout_shape_guards():
+    # block too long for the VMEM budget -> factory declines (XLA fallback)
+    assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 1) is None
+    assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 2) is None  # Nf=32
+    assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 4,
+                                   interpret=True) is not None  # Nf=16
+    assert MAX_NB >= 16

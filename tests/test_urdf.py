@@ -265,6 +265,24 @@ def test_moving_branch_errors_unless_frozen():
     np.testing.assert_allclose(frozen.i_spatial, fixed.i_spatial, atol=1e-12)
 
 
+def test_urdf_problem_preset_ee():
+    """urdf_problem wires the arm + EE cost (URDF limits) into a Problem that
+    reaches an EE goal (gravity=0: the reference's MPC-mode convention)."""
+    from parallel_ddp_tpu.presets import ee_goal, urdf_problem
+    from parallel_ddp_tpu.solver import ilqr_solve
+
+    prob = urdf_problem(ARM3_URDF, ee=True, gravity=0.0, use_limits=True,
+                        num_time_steps=16, total_time=0.8, m_blocks=2,
+                        num_alpha=8)
+    goal_xyz = [0.224, -0.015, 0.8]
+    out = ilqr_solve(prob.plant, prob.cost, prob.cfg,
+                     jnp.zeros((16, 6)), jnp.zeros((16, 3)),
+                     ee_goal(goal_xyz, n_state=6), initial_rollout=True)
+    ee = np.asarray(prob.plant.ee_pos(out.x[-1][:3])[:3])
+    assert np.linalg.norm(ee - np.asarray(goal_xyz)) < 0.1
+    assert float(out.max_defect) < 0.1
+
+
 def test_urdf_plant_solves():
     """The loaded arm runs end-to-end through the block-parallel iLQR stack."""
     from parallel_ddp_tpu.config import SolverConfig
