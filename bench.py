@@ -52,7 +52,7 @@ _LATENCY = """
 import sys, json
 sys.path.insert(0, {root!r})
 from benchmarks.latency import latency_result
-print("@@RESULT@@" + json.dumps(latency_result()))
+print("@@RESULT@@" + json.dumps(latency_result(core={core!r})))
 """
 
 _BATCHED = """
@@ -115,7 +115,8 @@ def run_stage(name: str, code: str, timeout_s: float, **fmt):
 
 def main():
     stages_env = os.environ.get(
-        "PDDP_BENCH_STAGES", "latency,batched,batched_pallas,rbd,fig8,convergence"
+        "PDDP_BENCH_STAGES",
+        "latency,latency_pallas,batched,batched_pallas,rbd,fig8,convergence",
     )
     want = {s.strip() for s in stages_env.split(",")}
     extra = {}
@@ -151,10 +152,21 @@ def main():
         time.sleep(5)
 
     if "latency" in want:
-        r = stage("latency", _LATENCY, 900)
+        r = stage("latency", _LATENCY, 900, core="auto")
         if r:
             value = r["solves_per_s"]
             extra["latency_per_solve_ms"] = r["per_solve_ms"]
+
+    if "latency_pallas" in want:
+        # same solve with the fused Pallas forward-sim + derivative kernels
+        # (kuka core='pallas'; ops/pallas_rollout.py) — recorded next to the
+        # XLA number so the artifact states which single-solve path wins
+        r = stage("latency_pallas", _LATENCY, 900, core="pallas")
+        if r:
+            extra["latency_pallas_solves_per_s"] = r["solves_per_s"]
+            extra["latency_pallas_per_solve_ms"] = r["per_solve_ms"]
+            if value is not None and value < r["solves_per_s"]:
+                value = r["solves_per_s"]  # headline = best production path
 
     if "batched" in want:
         r = stage("batched", _BATCHED, 1800, core="auto")

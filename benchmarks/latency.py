@@ -21,14 +21,16 @@ N_ITERS_PER_SOLVE = 6
 REPS = 20
 
 
-def latency_result(reps: int = REPS):
+def latency_result(reps: int = REPS, core: str = "auto"):
+    """core='pallas' routes the derivative stage AND the forward sim through
+    the fused Pallas kernels (ops/pallas_rbd.py, ops/pallas_rollout.py)."""
     import jax
     import jax.numpy as jnp
 
     from parallel_ddp_tpu.presets import ee_goal, kuka_ee
     from parallel_ddp_tpu.solver import make_ilqr_solver
 
-    prob = kuka_ee()
+    prob = kuka_ee(core=core)
     # fixed iteration count (tol_cost=0 disables the early exit so every solve
     # does the same work, like a time-budgeted MPC solve at steady state)
     cfg = dataclasses.replace(prob.cfg, max_iter=N_ITERS_PER_SOLVE, tol_cost=0.0)
@@ -76,4 +78,5 @@ def latency_result(reps: int = REPS):
 
 
 if __name__ == "__main__":
-    print(json.dumps(latency_result()))
+    core = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    print(json.dumps(latency_result(core=core)))
