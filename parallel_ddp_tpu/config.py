@@ -97,6 +97,11 @@ class SolverConfig:
     # regularization (state_reg=False) because Tassa state-reg does not fold
     # into the scan elements.
     bp_assoc_scan: bool = False
+    # lax.scan unroll factor for the serial per-step loops (backward Riccati
+    # block sweep, shooting-block rollout).  Higher = fewer loop-boundary
+    # dispatches but a bigger program; 4 measured best at round-1 shapes —
+    # re-tune on hardware with benchmarks/latency.py when shapes change.
+    scan_unroll: int = 4
 
     @property
     def dt(self) -> float:

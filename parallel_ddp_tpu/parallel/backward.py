@@ -143,7 +143,7 @@ def make_riccati_step(cfg: SolverConfig, n: int, m: int, dtype):
     return step
 
 
-def run_block(step, rho, seed_P, seed_p, ab_b, H_b, g_b, d_b, k_b):
+def run_block(step, rho, seed_P, seed_p, ab_b, H_b, g_b, d_b, k_b, unroll=4):
     """Serial Riccati sweep of one time block, k descending (the in-kernel time
     recursion of backPassKern, bpHelpers.cuh:369-418)."""
     # scan over reversed step order
@@ -152,7 +152,7 @@ def run_block(step, rho, seed_P, seed_p, ab_b, H_b, g_b, d_b, k_b):
     # N/M_BLOCKS_B = 16 at the WAFR config) and each step is tiny, so loop
     # overhead is a large fraction of the backward pass's wall time
     (_, _), outs = lax.scan(
-        lambda c, i: step(rho, c, i), (seed_P, seed_p), xs, unroll=4
+        lambda c, i: step(rho, c, i), (seed_P, seed_p), xs, unroll=unroll
     )
     # un-reverse to ascending k
     return jax.tree_util.tree_map(lambda a: a[::-1], outs)
@@ -347,7 +347,8 @@ def backward_pass(
         def attempt(rho):
             outs = jax.vmap(
                 lambda sP, sp_, ab, Hb, gb, db, kb: run_block(
-                    step, rho, sP, sp_, ab, Hb, gb, db, kb
+                    step, rho, sP, sp_, ab, Hb, gb, db, kb,
+                    unroll=cfg.scan_unroll,
                 )
             )(seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk)
             P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o = outs

@@ -39,7 +39,7 @@ def sweep_combine(a, b):
     )
 
 
-def make_sim_block(step_fn: Callable, nf: int):
+def make_sim_block(step_fn: Callable, nf: int, unroll: int = 4):
     """Per-(alpha, shooting-block) nonlinear rollout body (forwardSimInner,
     fpHelpers.cuh:223-275): u_k = u_k - alpha*du_k - K_k (x_k - xp_k), then
     integrate; the horizon's very last step (k == nf) is never simulated
@@ -57,7 +57,7 @@ def make_sim_block(step_fn: Callable, nf: int):
             return x_next, (x_next, u_new)
 
         _, (x_next_s, u_new_s) = lax.scan(
-            body, x0, (u_b, K_b, du_b, xp_b, k_b), unroll=4
+            body, x0, (u_b, K_b, du_b, xp_b, k_b), unroll=unroll
         )
         return x_next_s, u_new_s  # (Nf, n), (Nf, m)
 
@@ -145,7 +145,7 @@ def multiple_shooting_rollout(
         # one kernel for the whole (alpha, block) grid (forwardSimKern twin)
         x_next_all, u_new_all = fused_sim(x_swept, u, K, du, xp, alphas)
     else:
-        sim_block = make_sim_block(step_fn, nf)
+        sim_block = make_sim_block(step_fn, nf, unroll=cfg.scan_unroll)
 
         # vmap over blocks, then alphas
         def sim_all_blocks(alpha, xs_a):

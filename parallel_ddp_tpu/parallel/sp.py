@@ -190,7 +190,8 @@ def _make_solve_local(
         def attempt(rho):
             outs = jax.vmap(
                 lambda sP, sp_, ab, Hb, gb, db, kb: run_block(
-                    rstep, rho, sP, sp_, ab, Hb, gb, db, kb
+                    rstep, rho, sP, sp_, ab, Hb, gb, db, kb,
+                    unroll=cfg.scan_unroll,
                 )
             )(seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk)
             P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o = outs
@@ -268,7 +269,7 @@ def _make_solve_local(
         xp_blk = xp_l.reshape(Mf_l, Nf, n)
         k_blk = _local_ks(dev).reshape(Mf_l, Nf)
 
-        sim_block = forward.make_sim_block(step_fn, nf)
+        sim_block = forward.make_sim_block(step_fn, nf, unroll=cfg.scan_unroll)
 
         def sim_all_blocks(alpha, xs_a):
             x0s = xs_a.reshape(Mf_l, Nf, n)[:, 0]
