@@ -155,18 +155,22 @@ def main():
         r = stage("latency", _LATENCY, 900, core="auto")
         if r:
             value = r["solves_per_s"]
+            extra["latency_xla_solves_per_s"] = r["solves_per_s"]
             extra["latency_per_solve_ms"] = r["per_solve_ms"]
+            extra["latency_headline_path"] = "xla"
 
     if "latency_pallas" in want:
         # same solve with the fused Pallas forward-sim + derivative kernels
         # (kuka core='pallas'; ops/pallas_rollout.py) — recorded next to the
-        # XLA number so the artifact states which single-solve path wins
+        # XLA number; the headline takes the best production path that RAN
         r = stage("latency_pallas", _LATENCY, 900, core="pallas")
         if r:
             extra["latency_pallas_solves_per_s"] = r["solves_per_s"]
             extra["latency_pallas_per_solve_ms"] = r["per_solve_ms"]
-            if value is not None and value < r["solves_per_s"]:
-                value = r["solves_per_s"]  # headline = best production path
+            if value is None or value < r["solves_per_s"]:
+                value = r["solves_per_s"]
+                extra["latency_per_solve_ms"] = r["per_solve_ms"]
+                extra["latency_headline_path"] = "pallas"
 
     if "batched" in want:
         r = stage("batched", _BATCHED, 1800, core="auto")

@@ -39,17 +39,31 @@ CHIPS = {
 
 
 def _kernel_count(compiled) -> int:
-    """Dispatched-computation estimate: top-level instructions of the entry
-    computation of the optimized HLO (each is roughly one device kernel after
-    fusion; control-flow bodies re-dispatch their own, so this undercounts
-    loops — fine for a floor)."""
+    """Dispatched-computation estimate: instruction count of the ENTRY
+    computation of the optimized HLO (each top-level instruction is roughly
+    one device dispatch after fusion).  Control-flow body computations are
+    NOT counted (a while-loop's body re-dispatches per iteration), so this
+    is a floor for loopy programs."""
     try:
         txt = compiled.as_text()
     except Exception:
         return 0
-    n = txt.count(" fusion(")
-    n += txt.count(" custom-call(")
-    n += sum(txt.count(f" {op}(") for op in ("dot", "convolution", "scatter"))
+    n = 0
+    in_entry = False
+    for line in txt.splitlines():
+        if line.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry:
+            if line.startswith("}"):
+                break
+            s = line.strip()
+            # instruction definitions look like "%name = type op(...)";
+            # skip parameters and the block-local ROOT markers' duplicates
+            if " = " in s and not s.startswith("//"):
+                if "parameter(" in s or "constant(" in s:
+                    continue
+                n += 1
     return max(n, 1)
 
 
@@ -87,29 +101,9 @@ def analyze(name: str, lowered, chip: str, measured_s: float | None = None,
 
 
 def _measure(fn, args, reps=10):
-    import jax
+    from benchmarks.measure import rtt_corrected_median_s
 
-    out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-    # tunnel RTT via a trivial program (see bench.py docstring)
-    import jax.numpy as jnp
-
-    triv = jax.jit(lambda z: z + 1.0)
-    z = jnp.zeros((8, 128), jnp.float32)
-    jax.block_until_ready(triv(z))
-    rtts = []
-    for _ in range(8):
-        t0 = time.perf_counter()
-        jax.block_until_ready(triv(z))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-        ts.append(time.perf_counter() - t0)
-    return max(float(np.median(ts)) - rtt, 1e-9)
+    return rtt_corrected_median_s(fn, args, reps=reps)
 
 
 def main(stages):

@@ -45,7 +45,6 @@ def main():
         MPCLoopNode,
         SimulatorNode,
         TrajRunnerNode,
-        normalize_goal_pytree,
     )
     from parallel_ddp_tpu.runtime.pubsub import Channels, PubSub
 
@@ -65,20 +64,15 @@ def main():
     goal0 = msg.Goal(
         0, np.concatenate([start_xyz, np.zeros(3)]).astype(np.float32))
 
-    # pre-compile before going live (a loop that compiles on its first status
-    # runs the plant open-loop for the whole compile time)
-    # normalize_goal_pytree: warm up with the exact treedef the node solves
-    # with (it injects a cost_shift leaf), else this compile is thrown away
-    goal_pt0 = normalize_goal_pytree(goal_to_pytree(goal0))
-    st = ctrl.init_state(x_init, t0=0.0, goal=goal_pt0, weights=w)
-    ctrl.warmup(st, goal_pt0, w)
-
     bus_solver = PubSub(port=args.port)
     bus_runner = PubSub(port=args.port)
     bus_sim = PubSub(port=args.port)
     bus_goal = PubSub(port=args.port)
 
     node_solver = MPCLoopNode(ctrl, bus_solver, goal_to_pytree, goal0, weights=w)
+    # pre-compile the node's EXACT solve program before going live (a loop
+    # that compiles on its first status runs the plant open-loop meanwhile)
+    node_solver.warmup(x_init)
     node_runner = TrajRunnerNode(14, 7, bus_runner)
     node_sim = SimulatorNode(prob.plant, bus_sim, x_init,
                              rate_hz=args.sim_rate, integrator=1, realtime=True)

@@ -86,7 +86,6 @@ def run_distributed(args):
         SimulatorNode,
         TrajRunnerNode,
         ee_goal_to_pytree,
-        normalize_goal_pytree,
     )
     from parallel_ddp_tpu.runtime.pubsub import PubSub
     from parallel_ddp_tpu.tasks.pick_and_place import (
@@ -118,13 +117,9 @@ def run_distributed(args):
         np.concatenate([goal_node.goal, np.zeros(3)]).astype(np.float32),
     )
 
-    # pre-compile before going live
-    # warm up with the node's exact goal treedef (cost_shift leaf included)
-    goal_pt0 = normalize_goal_pytree(ee_goal_to_pytree(goal0))
-    st = ctrl.init_state(x_init, t0=0.0, goal=goal_pt0, weights=w)
-    ctrl.warmup(st, goal_pt0, w)
-
     node_solver = MPCLoopNode(ctrl, bus_solver, ee_goal_to_pytree, goal0, weights=w)
+    # pre-compile the node's EXACT solve program (cost_shift treedef included)
+    node_solver.warmup(x_init)
     node_runner = TrajRunnerNode(14, 7, bus_runner)
     node_sim = SimulatorNode(prob.plant, bus_sim, x_init,
                              rate_hz=args.sim_rate, integrator=1, realtime=True)

@@ -55,8 +55,9 @@ class Plant:
     # fused Pallas RBD kernels (ops/pallas_rbd.py) onto the production path.
     batched_step_jac: Optional[Callable[[int, float], Callable]] = None
     # Optional FUSED multiple-shooting rollout factory:
-    # (integrator, dt, num_time_steps, m_blocks_f) -> fused(x_swept, u, K, du,
-    # xp, alphas) -> (x_next_all, u_new_all), or None if the shape doesn't fit.
+    # (integrator, dt, num_time_steps, m_blocks_f, num_alpha) ->
+    # fused(x_swept, u, K, du, xp, alphas) -> (x_next_all, u_new_all),
+    # or None if the shape doesn't fit the kernel's lane/VMEM budget.
     # Routes the whole forward simulation through ONE kernel per solve instead
     # of a per-step dispatch chain (ops/pallas_rollout.py — the reference's
     # fused forwardSimKern, fpHelpers.cuh:223-301).

@@ -72,7 +72,7 @@ def kuka(params: KukaParams | None = None) -> Plant:
             return make_kuka_ab_pallas(_p.ee_type, _p.gravity, integrator, dt)
 
         def fused_rollout(integrator, dt, num_time_steps, m_blocks_f,
-                          _p=params):
+                          num_alpha, _p=params):
             # off-TPU there is nothing to fuse (no dispatch cost to save and
             # interpret-mode would crawl); the XLA scan path is used instead.
             # Correctness of the kernel itself is covered in interpret mode
@@ -81,7 +81,7 @@ def kuka(params: KukaParams | None = None) -> Plant:
                 return None
             return make_kuka_fused_rollout(
                 _p.ee_type, _p.gravity, integrator, dt,
-                num_time_steps, m_blocks_f,
+                num_time_steps, m_blocks_f, num_alpha,
             )
 
     else:

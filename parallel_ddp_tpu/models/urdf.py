@@ -303,14 +303,17 @@ def load_urdf(source: str, tip: str | None = None,
     )
 
 
-def urdf_plant(source: str, tip: str | None = None, gravity: float = 9.81,
+def urdf_plant(source: str | ArmModel, tip: str | None = None,
+               gravity: float = 9.81, freeze_branches: bool = False,
                **plant_kw) -> Plant:
-    """Plant for any revolute serial arm described by a URDF.
+    """Plant for any revolute serial arm described by a URDF (or an already
+    parsed ArmModel).
 
     Gives the arm the same surface the built-in Kuka plant has (dynamics, EE
     pose/velocity) so every solver/MPC/runtime feature applies unchanged.
     """
-    arm = load_urdf(source, tip=tip)
+    arm = (source if isinstance(source, ArmModel)
+           else load_urdf(source, tip=tip, freeze_branches=freeze_branches))
     rbd = arm.rbd(gravity=gravity)
     n = arm.n
     return Plant(

@@ -134,18 +134,19 @@ def _to_lanes(a, n_lanes):
 
 def make_kuka_fused_rollout(ee_type: int, gravity: float, integrator: int,
                             dt: float, num_time_steps: int, m_blocks_f: int,
-                            interpret: bool = False):
+                            num_alpha: int, interpret: bool = False):
     """Factory for the solver hook (Plant.fused_rollout):
 
         fused(x_swept (A,N,n), u (N,m), K (N,m,n), du (N,m), xp (N,n),
               alphas (A,)) -> (x_next_all (A,M,Nf,n), u_new_all (A,M,Nf,m))
 
-    Returns None when the shape doesn't fit the kernel's lane/VMEM budget
-    (callers keep the XLA scan path)."""
+    Returns None when the shape doesn't fit the kernel's lane/VMEM budget —
+    block longer than MAX_NB, or num_alpha * m_blocks_f lanes past one tile —
+    so callers keep the XLA scan path."""
     N = num_time_steps
     M = m_blocks_f
     nf_steps = N // M  # Nf
-    if N % M or nf_steps > MAX_NB:
+    if N % M or nf_steps > MAX_NB or num_alpha * M > _TILE:
         return None
     call = _build(ee_type, gravity, integrator, dt, nf_steps, interpret)
     nf_idx = N - 1
@@ -153,8 +154,7 @@ def make_kuka_fused_rollout(ee_type: int, gravity: float, integrator: int,
     def fused(x_swept, u, K, du, xp, alphas):
         A = alphas.shape[0]
         L = A * M
-        if L > _TILE:
-            raise ValueError(f"A*M = {L} exceeds one lane tile ({_TILE})")
+        assert L <= _TILE, f"A*M = {L} exceeds one lane tile ({_TILE})"
         f32 = jnp.float32
 
         def per_step(blk, c):

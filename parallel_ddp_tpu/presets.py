@@ -106,7 +106,7 @@ def kuka_ee(num_time_steps=64, total_time=0.5, m_blocks=4, num_alpha=16,
 def urdf_problem(source, tip=None, gravity: float = 9.81, ee: bool = False,
                  num_time_steps=64, total_time=1.0, m_blocks=4, num_alpha=16,
                  integrator=3, rho_init=5.0, use_limits: bool = False,
-                 safety: float = 0.8):
+                 safety: float = 0.8, freeze_branches: bool = False):
     """Problem for ANY revolute serial arm described by a URDF (models/urdf.py).
 
     ee=True uses the EE-pose cost family with the arm's own kinematics; with
@@ -121,16 +121,12 @@ def urdf_problem(source, tip=None, gravity: float = 9.81, ee: bool = False,
     raise CostWeights appropriately or zero gravity."""
     import numpy as _np
 
-    from parallel_ddp_tpu.models.urdf import load_urdf
+    from parallel_ddp_tpu.models.urdf import load_urdf, urdf_plant
 
-    arm = load_urdf(source, tip=tip)
-    rbd = arm.rbd(gravity=gravity)
+    arm = load_urdf(source, tip=tip, freeze_branches=freeze_branches)
     n = arm.n
-    plant = Plant(
-        name=f"urdf_{arm.name}_{n}dof_g{gravity:g}",
-        n_pos=n, n_ctrl=n,
-        dynamics=rbd.forward_dynamics, ee_pos=rbd.ee_pose,
-        ee_vel=rbd.ee_velocity,
+    plant = urdf_plant(
+        arm, gravity=gravity,
         rho_init_default=rho_init, num_alpha_default=num_alpha,
     )
     cfg = SolverConfig(

@@ -126,6 +126,19 @@ class MPCLoopNode:
             goal_pt["cost_shift"] = np.int32(shift)
         return goal_pt
 
+    def warmup(self, x0, t0: float = 0.0):
+        """Compile the node's EXACT solve program before going live.
+
+        Uses _goal_pytree() (cost_shift leaf included, default shift applied)
+        so the compile is the one run() will hit — warming up through the raw
+        goal dict has a different treedef and its compile is thrown away.
+        Call this instead of ctrl.warmup when the controller runs in a node."""
+        goal_pt = self._goal_pytree()
+        st = self.ctrl.init_state(np.asarray(x0, np.float32), t0=t0,
+                                  goal=goal_pt, weights=self.weights)
+        self.ctrl.warmup(st, goal_pt, self.weights)
+        return st
+
     def run(self, stop: threading.Event, poll_s: float = 0.0005):
         while not stop.is_set():
             self._consume_config()

@@ -123,7 +123,8 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
     fused_sim = None
     if plant.fused_rollout is not None and not cfg.slq and cfg.m_blocks_f > 0:
         fused_sim = plant.fused_rollout(
-            cfg.integrator, cfg.dt, cfg.num_time_steps, cfg.m_blocks_f
+            cfg.integrator, cfg.dt, cfg.num_time_steps, cfg.m_blocks_f,
+            cfg.num_alpha,
         )
     alphas = cfg.alphas()
 

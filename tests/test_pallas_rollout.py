@@ -39,7 +39,7 @@ def _xla_rollout(step_fn, N, M, x_swept, u, K, du, xp, alphas):
     return jax.vmap(sim_all)(alphas, x_swept)
 
 
-@pytest.mark.parametrize("integrator", [1, 3])
+@pytest.mark.parametrize("integrator", [1, 2, 3])
 def test_fused_rollout_matches_xla(integrator):
     from parallel_ddp_tpu.models.kuka import kuka, kuka_params
 
@@ -64,7 +64,7 @@ def test_fused_rollout_matches_xla(integrator):
 
     x_ref, u_ref = _xla_rollout(step_fn, N, M, x_swept, u, K, du, xp, alphas)
 
-    fused = make_kuka_fused_rollout(1, 9.81, integrator, cfg.dt, N, M,
+    fused = make_kuka_fused_rollout(1, 9.81, integrator, cfg.dt, N, M, A,
                                     interpret=True)
     assert fused is not None
     x_f, u_f = fused(x_swept, u, K, du, xp, alphas)
@@ -77,8 +77,10 @@ def test_fused_rollout_matches_xla(integrator):
 
 def test_fused_rollout_shape_guards():
     # block too long for the VMEM budget -> factory declines (XLA fallback)
-    assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 1) is None
-    assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 2) is None  # Nf=32
-    assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 4,
+    assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 1, 16) is None
+    assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 2, 16) is None  # Nf=32
+    # too many (alpha, block) lanes for one tile -> decline, not a trace error
+    assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 4, 280) is None
+    assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 4, 16,
                                    interpret=True) is not None  # Nf=16
     assert MAX_NB >= 16
