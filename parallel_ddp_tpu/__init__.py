@@ -56,6 +56,7 @@ from parallel_ddp_tpu.config import (
     CostWeights,
     SolveOutput,
 )
+from parallel_ddp_tpu.constraints import ALConfig, BoxConstraints, solve_al
 from parallel_ddp_tpu.models.base import Plant
 from parallel_ddp_tpu.solver import ilqr_solve, make_ilqr_solver
 
@@ -68,4 +69,7 @@ __all__ = [
     "Plant",
     "ilqr_solve",
     "make_ilqr_solver",
+    "BoxConstraints",
+    "ALConfig",
+    "solve_al",
 ]
