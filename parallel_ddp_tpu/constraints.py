@@ -78,6 +78,17 @@ class BoxConstraints:
             cs.append(x - self.x_max)
         return jnp.concatenate(cs)
 
+    def clip_u(self, u):
+        """Hard-clip a control to the box — the execution-side guard the
+        reference sketches and comments out (`clip`, MPCHelpers.cuh:473-501).
+        With the AL keeping the PLAN near-feasible, this is a tiny correction
+        rather than a fight with the optimizer."""
+        if self.u_min is not None:
+            u = jnp.maximum(u, self.u_min)
+        if self.u_max is not None:
+            u = jnp.minimum(u, self.u_max)
+        return u
+
     def jac_blocks(self):
         """Rows of dc/d[x; u] as (sign, offset) per constraint group, used to
         scatter the penalty grad/Hess into the (n_state+n_ctrl) layout."""
@@ -204,3 +215,82 @@ def _default_weights():
     from parallel_ddp_tpu.config import CostWeights
 
     return CostWeights()
+
+
+class ALMPCController:
+    """Real-time constrained MPC: the warm-started MPC driver with hard box
+    bounds enforced by a persistent augmented Lagrangian.
+
+    Standard real-time AL practice: ONE multiplier update per control period
+    (the solver is warm, so the (x, u, lam) triple co-converges across
+    periods), multipliers time-shifted with the rest of the warm-start state
+    (shiftAndCopy semantics, MPCHelpers.cuh:425-471), penalty weight mu held
+    fixed.  Wraps mpc.driver.MPCController rather than modifying it: lam/mu
+    ride the goal pytree exactly like the offline solve_al, so the driver,
+    its state layout, and its compiled step are untouched."""
+
+    def __init__(self, plant, cost, cfg, mpc_cfg, con: BoxConstraints,
+                 mu: float = 50.0, lam_max: float = 1e6):
+        from parallel_ddp_tpu.mpc.driver import MPCController
+
+        nf = cfg.num_time_steps - 1
+        self.con = con
+        self.cfg = cfg
+        self.mu = jnp.asarray(mu, jnp.float32)
+        self.lam_max = lam_max
+        self.ctrl = MPCController(plant, al_cost(cost, con, nf), cfg, mpc_cfg)
+        ks = jnp.arange(cfg.num_time_steps)
+        n_steps = cfg.num_time_steps
+        dt = cfg.dt
+        max_shift = mpc_cfg.max_shift_steps
+
+        @jax.jit
+        def shift_lam(lam, st_t0, t_now):
+            # the driver's own warm-start shift (mpc/driver.py _mpc_step:
+            # s = clip(floor((t_now - t0)/dt), 0, N-1), optional clamp) so the
+            # multipliers stay aligned with the shifted trajectory the solve
+            # actually sees
+            s = jnp.clip(
+                jnp.floor((t_now - st_t0) / dt).astype(jnp.int32),
+                0, n_steps - 1,
+            )
+            if max_shift is not None:
+                s = jnp.minimum(s, max_shift)
+            idx = jnp.minimum(jnp.arange(n_steps) + s, n_steps - 1)
+            return jnp.take(lam, idx, axis=0)
+
+        @jax.jit
+        def update_lam(lam, x, u, mu_):
+            c = jax.vmap(lambda xk, uk, k: con.residuals(xk, uk, k == nf))(
+                x, u, ks
+            )
+            return jnp.clip(jnp.maximum(lam + mu_ * c, 0.0), 0.0, lam_max)
+
+        self._shift_lam = shift_lam
+        self._update_lam = update_lam
+
+    def zero_lam(self):
+        return jnp.zeros((self.cfg.num_time_steps, self.con.n_c), jnp.float32)
+
+    def wrap_goal(self, goal, lam, mu=None):
+        return {"base": goal, "lam": lam,
+                "mu": self.mu if mu is None else mu}
+
+    def init_state(self, x_actual, t0=0.0, goal=None, weights=None,
+                   lam=None, **kw):
+        lam = self.zero_lam() if lam is None else lam
+        st = self.ctrl.init_state(x_actual, t0=t0,
+                                  goal=self.wrap_goal(goal, lam),
+                                  weights=weights, **kw)
+        return st, lam
+
+    def step(self, st, lam, x_actual, t_now, goal, weights=None, **kw):
+        """One constrained MPC period: shift multipliers with the horizon,
+        budgeted solve, one PHR multiplier update from the new plan.
+
+        Returns (state, lam, info)."""
+        lam_s = self._shift_lam(lam, st.t0, jnp.asarray(t_now, jnp.float32))
+        st2, info = self.ctrl.step(st, x_actual, t_now,
+                                   self.wrap_goal(goal, lam_s), weights, **kw)
+        lam2 = self._update_lam(lam_s, st2.x, st2.u, self.mu)
+        return st2, lam2, info
