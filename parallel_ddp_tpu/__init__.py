@@ -56,7 +56,12 @@ from parallel_ddp_tpu.config import (
     CostWeights,
     SolveOutput,
 )
-from parallel_ddp_tpu.constraints import ALConfig, BoxConstraints, solve_al
+from parallel_ddp_tpu.constraints import (
+    ALConfig,
+    ALMPCController,
+    BoxConstraints,
+    solve_al,
+)
 from parallel_ddp_tpu.models.base import Plant
 from parallel_ddp_tpu.solver import ilqr_solve, make_ilqr_solver
 
@@ -71,5 +76,6 @@ __all__ = [
     "make_ilqr_solver",
     "BoxConstraints",
     "ALConfig",
+    "ALMPCController",
     "solve_al",
 ]

@@ -105,6 +105,30 @@ def test_constrained_mpc_closed_loop():
     assert float(jnp.abs(st.u).max()) <= 6.0 + 1e-2
 
 
+def test_kuka_torque_limited_ee_solve():
+    """Flagship arm + hard torque bounds: the unconstrained EE reach peaks
+    above 100 Nm; with |u| <= 40 Nm the AL drives violations to ~1e-3 while
+    the EE still makes progress (a 0.5 s horizon under a 2.5x torque cut
+    cannot close the full distance — that is physics, not the solver)."""
+    import dataclasses
+
+    from parallel_ddp_tpu.presets import ee_goal, kuka_ee
+
+    prob = kuka_ee(num_time_steps=16, m_blocks=2, num_alpha=4)
+    cfg = dataclasses.replace(prob.cfg, max_iter=40)
+    goal_xyz = [0.3, -0.3, 0.9]
+    con = BoxConstraints(n_state=14, n_ctrl=7,
+                         u_min=[-40.0] * 7, u_max=[40.0] * 7)
+    out, info = solve_al(prob.plant, prob.cost, cfg,
+                         jnp.zeros((16, 14)), jnp.zeros((16, 7)),
+                         ee_goal(goal_xyz), con, ALConfig(max_outer=6))
+    assert float(jnp.abs(out.u).max()) <= 40.0 * 1.001
+    assert info["violations"][-1] < 2e-3
+    ee = np.asarray(prob.plant.ee_pos(out.x[-1][:7])[:3])
+    start_err = 0.595  # straight-up home EE to this goal
+    assert float(np.linalg.norm(ee - np.asarray(goal_xyz))) < start_err - 0.1
+
+
 def test_al_goal_pytree_traced_no_recompile():
     """lam/mu updates must not retrace the inner solver."""
     from parallel_ddp_tpu.constraints import al_cost
