@@ -129,6 +129,37 @@ def test_kuka_torque_limited_ee_solve():
     assert float(np.linalg.norm(ee - np.asarray(goal_xyz))) < start_err - 0.1
 
 
+def test_batched_constrained_solve_on_mesh():
+    """Constraints compose with 'dp' scenario sharding: per-scenario lam/mu
+    ride the batched goal pytree over the 8-device mesh, and each scenario
+    matches the single-device constrained solve."""
+    from jax.sharding import Mesh
+
+    from parallel_ddp_tpu.constraints import al_cost
+    from parallel_ddp_tpu.parallel.sharding import make_batched_solver
+    from parallel_ddp_tpu.solver import make_ilqr_solver
+
+    prob = _problem()
+    con = BoxConstraints(n_state=2, n_ctrl=1, u_min=[-6.0], u_max=[6.0])
+    cost = al_cost(prob.cost, con, 127)
+    solver = make_ilqr_solver(prob.plant, cost, prob.cfg)
+
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    bsolve = make_batched_solver(prob.plant, cost, prob.cfg, mesh)
+    B = len(jax.devices())
+    lam = jnp.zeros((B, 128, con.n_c), jnp.float32)
+    goals = {"base": jnp.broadcast_to(GOAL, (B, 2)), "lam": lam,
+             "mu": jnp.full((B,), 10.0, jnp.float32)}
+    out_b = bsolve(jnp.zeros((B, 128, 2)), jnp.zeros((B, 128, 1)), goals)
+
+    g1 = {"base": GOAL, "lam": lam[0], "mu": jnp.asarray(10.0, jnp.float32)}
+    out_1 = solver(jnp.zeros((128, 2)), jnp.zeros((128, 1)), g1,
+                   initial_rollout=True)
+    assert bool(jnp.all(jnp.isfinite(out_b.J)))
+    np.testing.assert_allclose(np.asarray(out_b.J),
+                               np.full((B,), float(out_1.J)), rtol=1e-4)
+
+
 def test_al_goal_pytree_traced_no_recompile():
     """lam/mu updates must not retrace the inner solver."""
     from parallel_ddp_tpu.constraints import al_cost
