@@ -295,6 +295,54 @@ class MPCController:
         self.per_iter_ms = min(w / i for i, w in pts)
         self.overhead_ms = 0.0
 
+    def init_state_batch(self, x_actuals, t0s, goals,
+                         weights: Optional[CostWeights] = None,
+                         warmup_iters: int = 50) -> MPCState:
+        """Cold-start a FLEET: one vmapped full-convergence solve over the
+        scenario axis.  x_actuals (B, n_state), t0s (B,), goals a pytree with
+        leading B on every leaf.  Returns an MPCState whose leaves carry the
+        scenario axis — shard it over a 'dp' mesh for scale-out
+        (parallel/sharding.py semantics)."""
+        n_steps = self.cfg.num_time_steps
+        xa = jnp.asarray(x_actuals, jnp.float32)
+        x0 = jnp.tile(xa[:, None], (1, n_steps, 1))
+        u0 = jnp.zeros((xa.shape[0], n_steps, self.plant.n_ctrl), jnp.float32)
+        solver = self._init_solvers.get(warmup_iters)
+        if solver is None:
+            warm_cfg = dataclasses.replace(self.cfg, max_iter=warmup_iters)
+            solver = make_ilqr_solver(self.plant, self.cost, warm_cfg)
+            self._init_solvers[warmup_iters] = solver
+        w = weights if weights is not None else CostWeights()
+        out = jax.vmap(
+            lambda x, u, g: solver(x, u, g, w, initial_rollout=True)
+        )(x0, u0, goals)
+        b = xa.shape[0]
+        return MPCState(
+            x=out.x, u=out.u, K=out.K, P=out.P, p=out.p, d=out.d,
+            t0=jnp.asarray(t0s, jnp.float32).reshape(b),
+            fails=jnp.zeros((b,), jnp.int32),
+        )
+
+    def step_batch(self, sts: MPCState, x_actuals, t_nows, goals,
+                   weights: Optional[CostWeights] = None,
+                   iter_limit: Optional[int] = None,
+                   time_limit_ms: Optional[float] = None):
+        """One warm-started budgeted MPC period for a FLEET of scenarios —
+        the BASELINE scale-out axis at the MPC level: thousands of
+        warm-started controllers advance in one program (weights and the
+        iteration cap are shared; state/measurement/clock/goal carry the
+        scenario axis)."""
+        if not hasattr(self, "_jit_step_batch"):
+            self._jit_step_batch = jax.jit(
+                jax.vmap(self._mpc_step, in_axes=(0, 0, 0, 0, None, None))
+            )
+        w = weights if weights is not None else CostWeights()
+        return self._jit_step_batch(
+            sts, jnp.asarray(x_actuals, jnp.float32),
+            jnp.asarray(t_nows, jnp.float32), goals, w,
+            self._resolve_iter_limit(iter_limit, time_limit_ms),
+        )
+
     def step(self, st: MPCState, x_actual, t_now, goal,
              weights: Optional[CostWeights] = None,
              iter_limit: Optional[int] = None,

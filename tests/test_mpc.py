@@ -207,3 +207,29 @@ def test_warm_start_tail_defect_keeps_exact_first_boundary():
     exact = ctrl._step_fn(x_last, u_w[b0]) - x_w[b0 + 1]
     np.testing.assert_allclose(np.asarray(d_w[b0]), np.asarray(exact),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mpc_fleet_step_batch():
+    """Fleet MPC: init_state_batch + step_batch advance B warm-started
+    controllers in one program, each identical to its single-scenario step
+    (the BASELINE scale-out axis at the MPC level; shard the batched state
+    over a 'dp' mesh for multi-chip)."""
+    ctrl = _controller()
+    B = 4
+    rng = np.random.default_rng(0)
+    xs = np.concatenate(
+        [np.asarray(np.pi - 0.3 + rng.normal(0, 0.1, (B, 1)), np.float32),
+         np.zeros((B, 1), np.float32)], axis=1,
+    )
+    goals = jnp.broadcast_to(jnp.asarray([np.pi, 0.0]), (B, 2))
+    sts = ctrl.init_state_batch(xs, np.zeros(B), goals)
+    sts2, infos = ctrl.step_batch(sts, xs, np.full(B, 0.05), goals)
+    assert bool(jnp.all(jnp.isfinite(infos.J)))
+
+    st0 = ctrl.init_state(xs[0], t0=0.0, goal=goals[0])
+    _, info0 = ctrl.step(st0, xs[0], 0.05, goals[0])
+    assert abs(float(info0.J) - float(infos.J[0])) < 1e-4
+    # t_now = 0.05 with dt = 1/31 -> one-step warm-start shift, same as single
+    assert int(infos.shift_steps[0]) == int(info0.shift_steps)
+    np.testing.assert_allclose(np.asarray(sts2.t0[0]), float(st0.t0) + ctrl.cfg.dt,
+                               atol=1e-6)
