@@ -22,7 +22,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -59,9 +58,13 @@ def _kernel_count(compiled) -> int:
                 break
             s = line.strip()
             # instruction definitions look like "%name = type op(...)";
-            # skip parameters and the block-local ROOT markers' duplicates
+            # skip parameters/constants and tuple/copy plumbing — those are
+            # not device dispatches (a while-loop entry is mostly
+            # get-tuple-element glue around the while op)
             if " = " in s and not s.startswith("//"):
-                if "parameter(" in s or "constant(" in s:
+                if any(f"{op}(" in s for op in
+                       ("parameter", "constant", "tuple", "get-tuple-element",
+                        "bitcast", "copy")):
                     continue
                 n += 1
     return max(n, 1)

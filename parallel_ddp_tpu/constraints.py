@@ -170,7 +170,10 @@ def solve_al(plant, cost, cfg, x0, u0, goal, con: BoxConstraints,
     nf = cfg.num_time_steps - 1
     solver = make_ilqr_solver(plant, al_cost(cost, con, nf), cfg)
 
-    ks = jnp.arange(cfg.num_time_steps)
+    # numpy, NOT jnp: an eagerly-created jnp.arange closed over by the jit
+    # below is a captured device constant — the pathological tunnel-dispatch
+    # pattern (tests/test_no_device_constants.py)
+    ks = np.arange(cfg.num_time_steps)
 
     @jax.jit
     def traj_residuals(x, u):
@@ -184,10 +187,11 @@ def solve_al(plant, cost, cfg, x0, u0, goal, con: BoxConstraints,
     viols = []
     out = None
     rollout = initial_rollout
+    warm = {}
     for _ in range(al.max_outer):
         wrapped = {"base": goal, "lam": lam, "mu": mu}
         out = solver(x_cur, u_cur, wrapped, weights,
-                     initial_rollout=rollout)
+                     initial_rollout=rollout, **warm)
         c = traj_residuals(out.x, out.u)
         viol = float(jnp.max(jnp.maximum(c, 0.0)))
         viols.append(viol)
@@ -195,8 +199,12 @@ def solve_al(plant, cost, cfg, x0, u0, goal, con: BoxConstraints,
             break
         lam = jnp.clip(jnp.maximum(lam + mu * c, 0.0), 0.0, al.lam_max)
         mu = jnp.minimum(mu * al.mu_factor, al.mu_max)
-        # warm start the next outer solve from this one's trajectory
+        # warm start the next outer solve from this one's FULL solver state —
+        # x/u alone would silently zero the multiple-shooting defects and the
+        # CTG seeds (the driver threads P0/p0/d0 through for the same reason,
+        # mpc/driver.py)
         x_cur, u_cur = out.x, out.u
+        warm = {"P0": out.P, "p0": out.p, "d0": out.d}
         rollout = False
     # out.J includes the AL penalty terms; report the BASE cost of the final
     # trajectory separately (that is the number comparable to an
@@ -239,7 +247,9 @@ class ALMPCController:
         self.mu = jnp.asarray(mu, jnp.float32)
         self.lam_max = lam_max
         self.ctrl = MPCController(plant, al_cost(cost, con, nf), cfg, mpc_cfg)
-        ks = jnp.arange(cfg.num_time_steps)
+        # numpy: a jnp.arange here would be a jit-captured device constant in
+        # the per-period update (the ~25 ms sticky slow-dispatch path)
+        ks = np.arange(cfg.num_time_steps)
         n_steps = cfg.num_time_steps
         dt = cfg.dt
         max_shift = mpc_cfg.max_shift_steps

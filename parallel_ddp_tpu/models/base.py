@@ -61,7 +61,9 @@ class Plant:
     # Routes the whole forward simulation through ONE kernel per solve instead
     # of a per-step dispatch chain (ops/pallas_rollout.py — the reference's
     # fused forwardSimKern, fpHelpers.cuh:223-301).
-    fused_rollout: Optional[Callable[[int, float, int, int], Callable]] = None
+    fused_rollout: Optional[
+        Callable[[int, float, int, int, int], Callable]
+    ] = None
 
     def __hash__(self):
         return hash((self.name, self.n_pos, self.n_ctrl))

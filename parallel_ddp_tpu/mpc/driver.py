@@ -122,6 +122,16 @@ class MPCController:
         self.overhead_ms: float = 0.0  # fixed per-solve dispatch/transport cost
         self._timing_min_ms: dict = {}  # iters -> min observed solve wall (ms)
 
+    def _warmup_solver(self, warmup_iters: int):
+        """Cached full-convergence solver for cold starts (shared by the
+        single and fleet init paths)."""
+        solver = self._init_solvers.get(warmup_iters)
+        if solver is None:
+            warm_cfg = dataclasses.replace(self.cfg, max_iter=warmup_iters)
+            solver = make_ilqr_solver(self.plant, self.cost, warm_cfg)
+            self._init_solvers[warmup_iters] = solver
+        return solver
+
     def init_state(self, x_actual, t0: float = 0.0, goal=None,
                    weights: Optional[CostWeights] = None,
                    warmup_iters: int = 50) -> MPCState:
@@ -131,12 +141,9 @@ class MPCController:
         n_steps = self.cfg.num_time_steps
         x0 = jnp.tile(jnp.asarray(x_actual, jnp.float32)[None], (n_steps, 1))
         u0 = jnp.zeros((n_steps, self.plant.n_ctrl), jnp.float32)
-        solver = self._init_solvers.get(warmup_iters)
-        if solver is None:
-            warm_cfg = dataclasses.replace(self.cfg, max_iter=warmup_iters)
-            solver = make_ilqr_solver(self.plant, self.cost, warm_cfg)
-            self._init_solvers[warmup_iters] = solver
-        out = solver(x0, u0, goal, weights, initial_rollout=True)
+        out = self._warmup_solver(warmup_iters)(
+            x0, u0, goal, weights, initial_rollout=True
+        )
         return MPCState(
             x=out.x, u=out.u, K=out.K, P=out.P, p=out.p, d=out.d,
             t0=jnp.asarray(t0, jnp.float32), fails=jnp.asarray(0, jnp.int32),
@@ -307,11 +314,7 @@ class MPCController:
         xa = jnp.asarray(x_actuals, jnp.float32)
         x0 = jnp.tile(xa[:, None], (1, n_steps, 1))
         u0 = jnp.zeros((xa.shape[0], n_steps, self.plant.n_ctrl), jnp.float32)
-        solver = self._init_solvers.get(warmup_iters)
-        if solver is None:
-            warm_cfg = dataclasses.replace(self.cfg, max_iter=warmup_iters)
-            solver = make_ilqr_solver(self.plant, self.cost, warm_cfg)
-            self._init_solvers[warmup_iters] = solver
+        solver = self._warmup_solver(warmup_iters)
         w = weights if weights is not None else CostWeights()
         out = jax.vmap(
             lambda x, u, g: solver(x, u, g, w, initial_rollout=True)
