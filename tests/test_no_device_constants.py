@@ -148,3 +148,45 @@ def test_ab_composer_and_hooked_solver_no_device_constants():
         lambda x, u, g: solver(x, u, g, initial_rollout=True)
     )(jnp.zeros((8, 2)), jnp.zeros((8, 1)), jnp.zeros(2))
     _assert_clean(jaxpr, "batched_step_jac-hooked solver")
+
+
+def test_constraints_paths_no_device_constants():
+    """The AL layer's jitted pieces (inner AL-cost solver, residual check,
+    real-time multiplier shift/update) must not capture device constants —
+    round-2 review caught eager jnp.arange captures exactly here."""
+    from parallel_ddp_tpu.config import SolverConfig
+    from parallel_ddp_tpu.constraints import (
+        ALMPCController, BoxConstraints, al_cost,
+    )
+    from parallel_ddp_tpu.costs.joint import pendulum_cost
+    from parallel_ddp_tpu.models import pendulum
+    from parallel_ddp_tpu.mpc.driver import MPCConfig
+    from parallel_ddp_tpu.solver import make_ilqr_solver
+
+    cfg = SolverConfig(num_time_steps=8, total_time=0.5, m_blocks_b=2,
+                       m_blocks_f=2, num_alpha=2, integrator=3, max_iter=2)
+    con = BoxConstraints(n_state=2, n_ctrl=1, u_min=[-6.0], u_max=[6.0])
+
+    solver = make_ilqr_solver(pendulum(), al_cost(pendulum_cost(8), con, 7),
+                              cfg)
+    goal = {"base": jnp.asarray([np.pi, 0.0]),
+            "lam": jnp.zeros((8, con.n_c)),
+            "mu": jnp.asarray(10.0)}
+    jaxpr = jax.make_jaxpr(
+        lambda x, u, g: solver(x, u, g, initial_rollout=True)
+    )(jnp.zeros((8, 2)), jnp.zeros((8, 1)), goal)
+    _assert_clean(jaxpr, "AL-cost solver")
+
+    ctrl = ALMPCController(pendulum(), pendulum_cost(8), cfg,
+                           MPCConfig(max_iters_per_solve=2), con)
+    lam = jnp.zeros((8, con.n_c))
+    _assert_clean(
+        jax.make_jaxpr(ctrl._shift_lam)(lam, jnp.asarray(0.0),
+                                        jnp.asarray(0.1)),
+        "ALMPC shift_lam",
+    )
+    _assert_clean(
+        jax.make_jaxpr(ctrl._update_lam)(lam, jnp.zeros((8, 2)),
+                                         jnp.zeros((8, 1)), jnp.asarray(10.0)),
+        "ALMPC update_lam",
+    )
