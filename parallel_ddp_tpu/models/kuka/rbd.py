@@ -73,16 +73,19 @@ def _xform_force_to_parent(r_cl, p_cl, n, f):
 
 
 class SerialArmRBD:
-    """Spatial-algebra RBD for ANY revolute serial chain (n joints about local z).
+    """Spatial-algebra RBD for ANY serial chain of revolute and/or prismatic
+    joints acting about/along local z.
 
     Constants are (n,3,3) fixed parent->child rotations, (n,3) joint origins,
     (n,6,6) spatial inertias at the link frames, and a (3,) end-effector offset
     in the last link frame — exactly the quantities a URDF provides (see
     models/urdf.py, the reference README's roadmap item README.md:41).
+    joint_types: string of 'r' (revolute, S = e3 angular) / 'p' (prismatic,
+    S = e3 linear); default all-revolute.
     """
 
     def __init__(self, r_tree, p_tree, i_spatial, ee_offset, gravity,
-                 dtype=jnp.float32, ee_rot=None):
+                 dtype=jnp.float32, ee_rot=None, joint_types=None):
         # numpy, not device arrays: these constants are captured by jitted
         # closures, and captured device arrays hit the axon TPU tunnel's slow
         # dispatch path (see config.py alphas docstring)
@@ -97,6 +100,10 @@ class SerialArmRBD:
         self.gravity = gravity
         self.dtype = dtype
         self.n = int(self.r_tree.shape[0])
+        self.joint_types = joint_types or "r" * self.n
+        assert len(self.joint_types) == self.n and set(self.joint_types) <= {
+            "r", "p"
+        }, self.joint_types
 
     # ---------- kinematics ----------
 
@@ -106,9 +113,16 @@ class SerialArmRBD:
         rs, ps = [], []
         r_w = jnp.eye(3, dtype=q.dtype)
         p_w = jnp.zeros(3, dtype=q.dtype)
+        e3 = jnp.array([0.0, 0.0, 1.0], q.dtype)
         for i in range(self.n):
-            r_l = self.r_tree[i] @ rz[i]  # child frame in parent (joint rotation about child z)
-            p_w = p_w + r_w @ self.p_tree[i]
+            if self.joint_types[i] == "r":
+                # joint rotation about child z
+                r_l = self.r_tree[i] @ rz[i]
+                p_w = p_w + r_w @ self.p_tree[i]
+            else:
+                # prismatic: translate along child z, rotation fixed
+                r_l = self.r_tree[i]
+                p_w = p_w + r_w @ (self.p_tree[i] + self.r_tree[i] @ (e3 * q[i]))
             r_w = r_w @ r_l
             rs.append(r_w)
             ps.append(p_w)
@@ -135,10 +149,23 @@ class SerialArmRBD:
     # ---------- dynamics ----------
 
     def _local_xforms(self, q):
-        """Per-joint (r_cl, p_cl): child link frame pose in the parent frame."""
+        """Per-joint (r_cl (n,3,3), p_cl (n,3)): child link frame pose in the
+        parent frame.  Revolute: rotation about child z.  Prismatic: fixed
+        rotation, origin translated along child z by q."""
         rz = _joint_rots(q)
-        r_cl = jnp.einsum("kij,kjl->kil", self.r_tree, rz)
-        return r_cl, self.p_tree
+        if "p" not in self.joint_types:
+            r_cl = jnp.einsum("kij,kjl->kil", self.r_tree, rz)
+            return r_cl, self.p_tree
+        e3 = jnp.array([0.0, 0.0, 1.0], q.dtype)
+        r_rows, p_rows = [], []
+        for i in range(self.n):
+            if self.joint_types[i] == "r":
+                r_rows.append(self.r_tree[i] @ rz[i])
+                p_rows.append(jnp.asarray(self.p_tree[i]))
+            else:
+                r_rows.append(jnp.asarray(self.r_tree[i]))
+                p_rows.append(self.p_tree[i] + self.r_tree[i] @ (e3 * q[i]))
+        return jnp.stack(r_rows), jnp.stack(p_rows)
 
     def bias_and_mass(self, q, qd):
         """(C (7,), M (7,7)): RNEA bias (Coriolis + gravity) and CRBA mass matrix."""
@@ -155,11 +182,17 @@ class SerialArmRBD:
         for i in range(self.n):
             w, v = _xform_motion(r_cl[i], p_cl[i], w, v)
             dw, dv = _xform_motion(r_cl[i], p_cl[i], dw, dv)
-            # velocity-product acceleration: v_i x S qd_i  (qdd = 0)
-            sqd_w = e3 * qd[i]
-            dw = dw + jnp.cross(w, sqd_w)
-            dv = dv + jnp.cross(v, sqd_w)
-            w = w + sqd_w
+            # velocity-product acceleration crm(v_i) @ (S qd_i)  (qdd = 0)
+            sqd = e3 * qd[i]
+            if self.joint_types[i] == "r":
+                # S angular: [w;v] x* [sqd;0] = [w x sqd; v x sqd]
+                dw = dw + jnp.cross(w, sqd)
+                dv = dv + jnp.cross(v, sqd)
+                w = w + sqd
+            else:
+                # S linear: [w;v] x* [0;sqd] = [0; w x sqd]
+                dv = dv + jnp.cross(w, sqd)
+                v = v + sqd
             ws.append(w)
             vs.append(v)
             dws.append(dw)
@@ -185,7 +218,8 @@ class SerialArmRBD:
         for i in reversed(range(self.n)):
             n_tot = fs[i][:3] + n_acc
             f_tot = fs[i][3:] + f_acc
-            c_out[i] = n_tot[2]  # S^T f with S = z rotation
+            # S^T f: angular z (revolute) or linear z (prismatic)
+            c_out[i] = n_tot[2] if self.joint_types[i] == "r" else f_tot[2]
             n_acc, f_acc = _xform_force_to_parent(r_cl[i], p_cl[i], n_tot, f_tot)
         c_vec = jnp.stack(c_out)
 
@@ -202,15 +236,17 @@ class SerialArmRBD:
             ic[i - 1] = ic[i - 1] + xm.T @ ic[i] @ xm
 
         m_rows = []
-        # S_i in own frame = e3 angular; propagate F = Ic_i S_i down to ancestors
+        # S_i in own frame (e3 angular or linear); propagate F = Ic_i S_i
+        # down to ancestors, projecting on each ancestor's own S_j
         for i in range(self.n):
-            f6 = ic[i][:, 2]  # Ic_i @ [e3; 0]
+            col = 2 if self.joint_types[i] == "r" else 5
+            f6 = ic[i][:, col]  # Ic_i @ S_i
             m_i = [jnp.zeros((), dtype)] * self.n
-            m_i[i] = f6[2]
+            m_i[i] = f6[col]
             n_f, f_f = f6[:3], f6[3:]
             for j in reversed(range(i)):
                 n_f, f_f = _xform_force_to_parent(r_cl[j + 1], p_cl[j + 1], n_f, f_f)
-                m_i[j] = n_f[2]
+                m_i[j] = n_f[2] if self.joint_types[j] == "r" else f_f[2]
             m_rows.append(jnp.stack(m_i))
         m_low = jnp.stack(m_rows)  # row i holds M[i, j] for j <= i
         m_mat = jnp.tril(m_low) + jnp.tril(m_low, -1).T

@@ -1,4 +1,4 @@
-"""URDF front-end: any revolute serial-chain robot as a Plant.
+"""URDF front-end: any revolute/prismatic serial-chain robot as a Plant.
 
 The reference hardcodes symbolically-generated constants for one robot and
 lists "URDF -> constants" as a roadmap item (reference README.md:41, the
@@ -9,14 +9,15 @@ revolute serial arm gets dynamics, analytic-structure gradients (via jacfwd
 through the spatial-algebra core), EE kinematics, and therefore the full
 iLQR/MPC stack.
 
-Supported: revolute/continuous joints about an arbitrary axis (the joint
-frame is re-oriented so the axis becomes local z — the SerialArmRBD joint
-model), fixed joints (their transforms are folded into the next joint and
-their link inertias are lumped into the preceding modeled link), full
-inertia tensors with products and an inertial-frame rpy, and joint
-position/velocity/effort limits (returned for use as cost limit penalties,
-cost_arm.cuh:12-25 analog).  Not supported: branching chains without a
-`tip` hint, prismatic/floating/planar joints, mimic joints.
+Supported: revolute/continuous AND prismatic joints about/along an arbitrary
+axis (the joint frame is re-oriented so the axis becomes local z — the
+SerialArmRBD joint model; SCARA/gantry mechanisms load directly), fixed
+joints (their transforms are folded into the next joint and their link
+inertias are lumped into the preceding modeled link), full inertia tensors
+with products and an inertial-frame rpy, and joint position/velocity/effort
+limits (returned for use as cost limit penalties, cost_arm.cuh:12-25
+analog).  Not supported: branching chains without a `tip` hint,
+floating/planar joints, mimic joints.
 """
 
 from __future__ import annotations
@@ -123,6 +124,7 @@ class ArmModel:
     pos_upper: np.ndarray
     vel_limit: np.ndarray
     effort_limit: np.ndarray
+    joint_types: str = ""   # 'r'/'p' per joint; "" = all revolute
 
     @property
     def n(self) -> int:
@@ -134,6 +136,7 @@ class ArmModel:
         return SerialArmRBD(
             self.r_tree, self.p_tree, self.i_spatial, self.ee_offset,
             gravity, dtype=dtype or jnp.float32, ee_rot=self.ee_rot,
+            joint_types=self.joint_types or None,
         )
 
 
@@ -224,7 +227,7 @@ def load_urdf(source: str, tip: str | None = None,
     chain.reverse()
     on_chain = {j.name for j in chain}
 
-    r_tree, p_tree, i_sp, jnames = [], [], [], []
+    r_tree, p_tree, i_sp, jnames, jtypes = [], [], [], [], []
     limits = []
     # pending fixed transform from the last MODELED link frame to the frame
     # the next joint origin lives in
@@ -271,17 +274,19 @@ def load_urdf(source: str, tip: str | None = None,
             lump_branches(j.child, r_j, p_j)
             r_pre, p_pre = r_j, p_j
             continue
-        assert j.type in ("revolute", "continuous"), (
+        assert j.type in ("revolute", "continuous", "prismatic"), (
             f"joint '{j.name}' has unsupported type '{j.type}'"
         )
         # re-orient the child frame so the joint axis is local z: modeled
         # child frame C' = C rotated by Q (Q e3 = axis), so
         # R_origin Rot(axis, q) = (R_origin Q) Rz(q) Q^T — the trailing Q^T
-        # becomes the next segment's pending transform
+        # becomes the next segment's pending transform.  Prismatic likewise:
+        # Trans(axis q) = Q Trans(e3 q) Q^T, so p = p_o + (R_o Q) e3 q
         q_ax = _rot_align_z(j.axis)
         r_tree.append(r_j @ q_ax)
         p_tree.append(p_j)
         jnames.append(j.name)
+        jtypes.append("p" if j.type == "prismatic" else "r")
         limits.append((j.limit_lower, j.limit_upper,
                        j.limit_velocity, j.limit_effort))
         # child link inertia, re-expressed in the modeled frame C' (the child
@@ -292,7 +297,7 @@ def load_urdf(source: str, tip: str | None = None,
         r_pre, p_pre = q_ax.T, np.zeros(3)
         lump_branches(j.child, r_pre, p_pre)
 
-    assert jnames, "URDF contains no revolute joints on the chain"
+    assert jnames, "URDF contains no moving joints on the chain"
     lo, hi, vel, eff = (np.asarray(v, float) for v in zip(*limits))
     return ArmModel(
         name=name, joint_names=tuple(jnames),
@@ -300,6 +305,7 @@ def load_urdf(source: str, tip: str | None = None,
         i_spatial=np.stack(i_sp),
         ee_offset=p_pre.copy(), ee_rot=r_pre.copy(),
         pos_lower=lo, pos_upper=hi, vel_limit=vel, effort_limit=eff,
+        joint_types="".join(jtypes),
     )
 
 

@@ -265,6 +265,124 @@ def test_moving_branch_errors_unless_frozen():
     np.testing.assert_allclose(frozen.i_spatial, fixed.i_spatial, atol=1e-12)
 
 
+CARTPOLE_URDF = """
+<robot name="cartpole">
+  <link name="base"/>
+  <link name="cart">
+    <inertial><mass value="10.0"/>
+      <inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/></inertial>
+  </link>
+  <link name="pole">
+    <inertial><origin xyz="0 0 -0.5"/><mass value="1.0"/>
+      <inertia ixx="0" ixy="0" ixz="0" iyy="0" iyz="0" izz="0"/></inertial>
+  </link>
+  <joint name="slide" type="prismatic">
+    <parent link="base"/><child link="cart"/>
+    <axis xyz="1 0 0"/>
+    <limit lower="-5" upper="5" velocity="10" effort="100"/>
+  </joint>
+  <joint name="hinge" type="continuous">
+    <parent link="cart"/><child link="pole"/>
+    <axis xyz="0 1 0"/>
+  </joint>
+</robot>
+"""
+
+
+def test_prismatic_cartpole_matches_analytic():
+    """Prismatic-joint support, oracle = the hand-derived cart-pole model
+    (models/cartpole.py, dynamics_cart.cuh:28-43): a prismatic-x cart plus a
+    revolute-y pole must reproduce it to machine precision (theta measured
+    oppositely: theta_urdf = -theta_analytic)."""
+    from parallel_ddp_tpu.models.cartpole import _dynamics as analytic
+
+    arm = load_urdf(CARTPOLE_URDF)
+    assert arm.joint_types == "pr"
+    assert float(arm.pos_upper[0]) == 5.0  # prismatic limit surfaced
+    rbd = arm.rbd(gravity=9.81)
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        x = rng.normal(0, 1.0, 4)
+        u = rng.normal(0, 5.0, 1)
+        qdd_a = np.asarray(analytic(jnp.asarray(x, jnp.float32),
+                                    jnp.asarray(u, jnp.float32)))
+        xu = jnp.asarray(np.r_[x[0], -x[1], x[2], -x[3]], jnp.float32)
+        qdd_u = np.asarray(
+            rbd.forward_dynamics(xu, jnp.asarray([u[0], 0.0], jnp.float32))
+        )
+        np.testing.assert_allclose(np.r_[qdd_u[0], -qdd_u[1]], qdd_a,
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_prismatic_energy_and_id_fd():
+    """SCARA-like r-p-r chain: SPD mass matrix, ID(FD)=id, f64 energy
+    conservation — the same invariants as the revolute chain."""
+    urdf = """
+    <robot name="scara">
+      <link name="base"/>
+      <link name="l1"><inertial><origin xyz="0.1 0 0"/><mass value="2.0"/>
+        <inertia ixx="0.002" ixy="0" ixz="0" iyy="0.02" iyz="0" izz="0.02"/></inertial></link>
+      <link name="l2"><inertial><origin xyz="0 0 -0.1"/><mass value="1.0"/>
+        <inertia ixx="0.005" ixy="0" ixz="0" iyy="0.005" iyz="0" izz="0.001"/></inertial></link>
+      <link name="l3"><inertial><origin xyz="0.05 0 0"/><mass value="0.5"/>
+        <inertia ixx="0.0005" ixy="0" ixz="0" iyy="0.002" iyz="0" izz="0.002"/></inertial></link>
+      <joint name="j1" type="revolute"><parent link="base"/><child link="l1"/>
+        <origin xyz="0 0 0.3"/><axis xyz="0 0 1"/>
+        <limit lower="-3" upper="3" velocity="3" effort="30"/></joint>
+      <joint name="j2" type="prismatic"><parent link="l1"/><child link="l2"/>
+        <origin xyz="0.2 0 0"/><axis xyz="0 0 -1"/>
+        <limit lower="0" upper="0.3" velocity="1" effort="50"/></joint>
+      <joint name="j3" type="continuous"><parent link="l2"/><child link="l3"/>
+        <origin xyz="0 0 -0.15"/><axis xyz="0 0 1"/></joint>
+    </robot>
+    """
+    arm = load_urdf(urdf)
+    assert arm.joint_types == "rpr"
+    rbd = arm.rbd(gravity=9.81)
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(0, 0.5, 3), jnp.float32)
+    qd = jnp.asarray(rng.normal(0, 0.5, 3), jnp.float32)
+    u = jnp.asarray(rng.normal(0, 3.0, 3), jnp.float32)
+
+    _, m_mat = rbd.bias_and_mass(q, qd)
+    m_np = np.asarray(m_mat)
+    np.testing.assert_allclose(m_np, m_np.T, atol=1e-6)
+    assert np.linalg.eigvalsh(m_np).min() > 0
+
+    x = jnp.concatenate([q, qd])
+    tau = np.asarray(rbd.inverse_dynamics(q, qd, rbd.forward_dynamics(x, u)))
+    np.testing.assert_allclose(tau, np.asarray(u), rtol=1e-4, atol=1e-4)
+
+    with jax.enable_x64():
+        rbd0 = arm.rbd(gravity=0.0, dtype=jnp.float64)
+
+        def f(xx):
+            return jnp.concatenate(
+                [xx[3:], rbd0.forward_dynamics(xx, jnp.zeros(3, jnp.float64))]
+            )
+
+        def energy(xx):
+            _, m0 = rbd0.bias_and_mass(xx[:3], xx[3:])
+            return float(xx[3:] @ (m0 @ xx[3:])) * 0.5
+
+        h = 1e-3
+        xx = jnp.asarray(np.concatenate([np.asarray(q), np.asarray(qd)]),
+                         jnp.float64)
+        e0 = energy(xx)
+
+        def step(s):
+            k1 = f(s)
+            k2 = f(s + h / 2 * k1)
+            k3 = f(s + h / 2 * k2)
+            k4 = f(s + h * k3)
+            return s + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+        step = jax.jit(step)
+        for _ in range(200):
+            xx = step(xx)
+        assert abs(energy(xx) - e0) / max(e0, 1e-9) < 1e-8
+
+
 def test_urdf_problem_preset_ee():
     """urdf_problem wires the arm + EE cost (URDF limits) into a Problem that
     reaches an EE goal (gravity=0: the reference's MPC-mode convention)."""
