@@ -422,3 +422,29 @@ def test_urdf_plant_solves():
     assert float(out.max_defect) < 0.1
     qf = np.asarray(out.x[-1][:3])
     assert np.abs(qf - np.asarray(goal[:3])).max() < 0.15, qf
+
+
+def test_flipped_axis_equivalence():
+    """axis = -a describes the same joint with q measured oppositely:
+    qdd_a(q, u) == -qdd_{-a}(-q, -u).  Exercises both branches of the
+    axis-to-z alignment (generic minimal rotation AND the antiparallel
+    pi-rotation special case)."""
+
+    def urdf(axis):
+        return f"""
+        <robot name="p"><link name="base"/>
+          <link name="l1"><inertial><origin xyz="0.3 0 -0.7"/><mass value="1.3"/>
+            <inertia ixx="0.001" ixy="0" ixz="0" iyy="0.001" iyz="0" izz="0.001"/></inertial></link>
+          <joint name="j1" type="continuous"><parent link="base"/><child link="l1"/>
+            <origin xyz="0 0 1"/><axis xyz="{axis}"/></joint></robot>"""
+
+    rng = np.random.default_rng(0)
+    for ax_pos, ax_neg in (("0 1 0", "0 -1 0"), ("0 0 1", "0 0 -1")):
+        rbd_p = load_urdf(urdf(ax_pos)).rbd(gravity=9.81)
+        rbd_n = load_urdf(urdf(ax_neg)).rbd(gravity=9.81)
+        for _ in range(3):
+            x = jnp.asarray(rng.normal(0, 1, 2), jnp.float32)
+            u = jnp.asarray(rng.normal(0, 2, 1), jnp.float32)
+            qp = float(rbd_p.forward_dynamics(x, u)[0])
+            qn = float(rbd_n.forward_dynamics(-x, -u)[0])
+            np.testing.assert_allclose(qp, -qn, rtol=1e-5, atol=1e-5)
