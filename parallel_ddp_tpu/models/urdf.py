@@ -139,6 +139,19 @@ class ArmModel:
             joint_types=self.joint_types or None,
         )
 
+    def soa(self, gravity: float = 9.81):
+        """Scalar-channel core (models/kuka/soa.py SerialArmSoA) — the TPU
+        production trace structure (one elementwise dataflow, ~10x fewer XLA
+        kernels than the vector core; use off-TPU only for cross-checks,
+        its jacfwd graph is pathological for the XLA CPU pipeline)."""
+        from parallel_ddp_tpu.models.kuka.soa import SerialArmSoA, _Consts
+
+        ee_rot = None if np.allclose(self.ee_rot, np.eye(3)) else self.ee_rot
+        return SerialArmSoA(_Consts(
+            self.r_tree, self.p_tree, self.i_spatial, self.ee_offset,
+            gravity, joint_types=self.joint_types or None, ee_rot=ee_rot,
+        ))
+
 
 def _parse(source: str):
     """source: a path or a URDF XML string."""
@@ -311,23 +324,30 @@ def load_urdf(source: str, tip: str | None = None,
 
 def urdf_plant(source: str | ArmModel, tip: str | None = None,
                gravity: float = 9.81, freeze_branches: bool = False,
-               **plant_kw) -> Plant:
-    """Plant for any revolute serial arm described by a URDF (or an already
-    parsed ArmModel).
+               core: str = "auto", **plant_kw) -> Plant:
+    """Plant for any revolute/prismatic serial arm described by a URDF (or an
+    already parsed ArmModel).
 
     Gives the arm the same surface the built-in Kuka plant has (dynamics, EE
     pose/velocity) so every solver/MPC/runtime feature applies unchanged.
+    core: "soa" scalar-channel (TPU production), "rbd" spatial-algebra vector
+    (CPU/oracle), "auto" = soa on TPU, rbd elsewhere (KukaParams.core
+    semantics, models/kuka/model.py).
     """
     arm = (source if isinstance(source, ArmModel)
            else load_urdf(source, tip=tip, freeze_branches=freeze_branches))
-    rbd = arm.rbd(gravity=gravity)
+    if core == "auto":
+        import jax
+
+        core = "soa" if jax.default_backend() == "tpu" else "rbd"
+    impl = arm.soa(gravity=gravity) if core == "soa" else arm.rbd(gravity=gravity)
     n = arm.n
     return Plant(
-        name=f"urdf_{arm.name}_{n}dof_g{gravity:g}",
+        name=f"urdf_{arm.name}_{n}dof_g{gravity:g}_{core}",
         n_pos=n,
         n_ctrl=n,
-        dynamics=rbd.forward_dynamics,
-        ee_pos=rbd.ee_pose,
-        ee_vel=rbd.ee_velocity,
+        dynamics=impl.forward_dynamics,
+        ee_pos=impl.ee_pose,
+        ee_vel=impl.ee_velocity,
         **plant_kw,
     )

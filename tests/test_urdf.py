@@ -448,3 +448,31 @@ def test_flipped_axis_equivalence():
             qp = float(rbd_p.forward_dynamics(x, u)[0])
             qn = float(rbd_n.forward_dynamics(-x, -u)[0])
             np.testing.assert_allclose(qp, -qn, rtol=1e-5, atol=1e-5)
+
+
+def test_generic_soa_matches_rbd():
+    """The scalar-channel core (SerialArmSoA — the TPU production trace
+    structure) matches the spatial-algebra core for generic chains,
+    including prismatic joints and a rotated tool frame."""
+    rng = np.random.default_rng(0)
+    for urdf in (ARM3_URDF, CARTPOLE_URDF):
+        arm = load_urdf(urdf)
+        n = arm.n
+        rbd = arm.rbd(gravity=9.81)
+        soa = arm.soa(gravity=9.81)
+        for _ in range(4):
+            x = jnp.asarray(rng.normal(0, 0.8, 2 * n), jnp.float32)
+            u = jnp.asarray(rng.normal(0, 4.0, n), jnp.float32)
+            qa = np.asarray(rbd.forward_dynamics(x, u))
+            qb = np.asarray(soa.forward_dynamics(x, u))
+            scale = 1.0 + np.abs(qa).max()
+            assert np.abs(qa - qb).max() / scale < 1e-5
+            np.testing.assert_allclose(np.asarray(soa.ee_pose(x[:n])),
+                                       np.asarray(rbd.ee_pose(x[:n])),
+                                       atol=1e-5)
+        # batched without vmap (the SoA contract)
+        xs = jnp.asarray(rng.normal(0, 0.5, (16, 2 * n)), jnp.float32)
+        us = jnp.asarray(rng.normal(0, 2.0, (16, n)), jnp.float32)
+        qb = np.asarray(soa.forward_dynamics(xs, us))
+        qa = np.asarray(jax.vmap(rbd.forward_dynamics)(xs, us))
+        np.testing.assert_allclose(qb, qa, rtol=1e-4, atol=1e-4)
