@@ -190,3 +190,20 @@ def test_constraints_paths_no_device_constants():
                                          jnp.zeros((8, 1)), jnp.asarray(10.0)),
         "ALMPC update_lam",
     )
+
+
+def test_urdf_soa_plant_no_device_constants():
+    """urdf_plant(core='soa') — generic scalar-channel constants are plain
+    python floats and must stay that way."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_urdf import CARTPOLE_URDF
+
+    from parallel_ddp_tpu.models.urdf import urdf_plant
+
+    plant = urdf_plant(CARTPOLE_URDF, gravity=9.81, core="soa")
+    jaxpr = jax.make_jaxpr(plant.dynamics)(jnp.zeros(4), jnp.zeros(2))
+    _assert_clean(jaxpr, "urdf soa dynamics")
+    jaxpr = jax.make_jaxpr(plant.ee_pos)(jnp.zeros(2))
+    _assert_clean(jaxpr, "urdf soa ee_pose")
