@@ -34,11 +34,21 @@ class KukaParams:
     core: str = "auto"
 
     def resolved_core(self) -> str:
-        if self.core != "auto":
-            return self.core
-        import jax
+        return resolve_core(self.core, allow_pallas=True)
 
-        return "soa" if jax.default_backend() == "tpu" else "rbd"
+
+def resolve_core(core: str, allow_pallas: bool = False) -> str:
+    """Shared backend-selection policy: 'auto' = the scalar-channel core on
+    TPU, the vector core elsewhere (used by KukaParams AND urdf_plant so the
+    two never drift)."""
+    allowed = {"auto", "soa", "rbd"} | ({"pallas"} if allow_pallas else set())
+    if core not in allowed:
+        raise ValueError(f"unknown core {core!r}; expected one of {sorted(allowed)}")
+    if core != "auto":
+        return core
+    import jax
+
+    return "soa" if jax.default_backend() == "tpu" else "rbd"
 
 
 @functools.lru_cache(maxsize=8)

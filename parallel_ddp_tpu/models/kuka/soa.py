@@ -388,6 +388,14 @@ class SerialArmSoA:
         self.n = cc.n
         self.gravity = cc.gravity
 
+    @classmethod
+    def from_tree(cls, r_tree, p_tree, i_spatial, ee_offset, gravity,
+                  joint_types=None, ee_rot=None):
+        """Public constructor from raw chain constants (the ArmModel/URDF
+        surface — keeps _Consts private to this module)."""
+        return cls(_Consts(r_tree, p_tree, i_spatial, ee_offset, gravity,
+                           joint_types=joint_types, ee_rot=ee_rot))
+
     def forward_dynamics(self, x, u):
         n = self.n
         q = _split(x[..., :n], n)

@@ -144,13 +144,13 @@ class ArmModel:
         production trace structure (one elementwise dataflow, ~10x fewer XLA
         kernels than the vector core; use off-TPU only for cross-checks,
         its jacfwd graph is pathological for the XLA CPU pipeline)."""
-        from parallel_ddp_tpu.models.kuka.soa import SerialArmSoA, _Consts
+        from parallel_ddp_tpu.models.kuka.soa import SerialArmSoA
 
         ee_rot = None if np.allclose(self.ee_rot, np.eye(3)) else self.ee_rot
-        return SerialArmSoA(_Consts(
+        return SerialArmSoA.from_tree(
             self.r_tree, self.p_tree, self.i_spatial, self.ee_offset,
             gravity, joint_types=self.joint_types or None, ee_rot=ee_rot,
-        ))
+        )
 
 
 def _parse(source: str):
@@ -334,12 +334,11 @@ def urdf_plant(source: str | ArmModel, tip: str | None = None,
     (CPU/oracle), "auto" = soa on TPU, rbd elsewhere (KukaParams.core
     semantics, models/kuka/model.py).
     """
+    from parallel_ddp_tpu.models.kuka.model import resolve_core
+
     arm = (source if isinstance(source, ArmModel)
            else load_urdf(source, tip=tip, freeze_branches=freeze_branches))
-    if core == "auto":
-        import jax
-
-        core = "soa" if jax.default_backend() == "tpu" else "rbd"
+    core = resolve_core(core)  # raises on typos; 'pallas' is Kuka-only
     impl = arm.soa(gravity=gravity) if core == "soa" else arm.rbd(gravity=gravity)
     n = arm.n
     return Plant(

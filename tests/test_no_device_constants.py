@@ -195,9 +195,6 @@ def test_constraints_paths_no_device_constants():
 def test_urdf_soa_plant_no_device_constants():
     """urdf_plant(core='soa') — generic scalar-channel constants are plain
     python floats and must stay that way."""
-    import sys
-
-    sys.path.insert(0, "tests")
     from test_urdf import CARTPOLE_URDF
 
     from parallel_ddp_tpu.models.urdf import urdf_plant
