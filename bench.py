@@ -147,6 +147,14 @@ def main():
         # convergence (iters-to-1%-cost) is a numerics metric computed on the
         # CPU backend — it survives a dead accelerator
         want &= {"convergence"}
+        extra["device_unreachable"] = True
+        # last driver-identical on-chip measurements (TPU v5e, this round,
+        # recorded while the tunnel was alive — see README/PARITY perf tables)
+        extra["last_measured_on_chip"] = {
+            "latency_solves_per_s": 356.0,
+            "batched_solves_per_s_per_chip": 1954.0,
+            "fig8_avg_ee_tracking_error_m": 0.0547,
+        }
     else:
         extra["backend"] = pf["backend"]
         time.sleep(5)
