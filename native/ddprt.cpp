@@ -17,6 +17,7 @@
 // Exposed as a C ABI consumed via ctypes (runtime/pubsub.py, runtime/trajrunner.py).
 
 #include <arpa/inet.h>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
@@ -220,9 +221,9 @@ int tr_get_control(void* h, double t, const float* x_meas, float* u_out,
   std::lock_guard<std::mutex> lk(tr->mu);
   if (!tr->valid) return 2;
   double rel = (t - tr->t0) / tr->dt;
-  int ind = static_cast<int>(rel);
-  double frac = rel - ind;
-  if (ind < 0 || ind >= tr->n - 2) return 1;
+  int ind = static_cast<int>(std::floor(rel));  // floor, not truncate: rel in
+  double frac = rel - ind;                      // (-1,0) must reject, not ind=0
+  if (ind < 0 || ind >= tr->n - 1) return 1;
   const float* uk = &tr->u[static_cast<size_t>(ind) * tr->nu];
   if (!use_feedback) {
     memcpy(u_out, uk, tr->nu * sizeof(float));

@@ -39,7 +39,7 @@ def get_hardware_controls(
     rel = (t_now - traj.t0) / traj.dt
     ind = int(np.floor(rel))
     frac = rel - ind
-    if ind < 0 or ind >= n - 2:
+    if ind < 0 or ind >= n - 1:
         return np.zeros(traj.u.shape[1], traj.u.dtype), False
     if use_feedback:
         x_ref = (1.0 - frac) * traj.x[ind] + frac * traj.x[ind + 1]

@@ -95,9 +95,22 @@ def test_native_traj_runner_matches_python():
         assert (rc == 0) == ok
         if ok:
             np.testing.assert_allclose(u_native, u_py, rtol=1e-5, atol=1e-6)
-    # past the end fails loudly (MPCHelpers.cuh:827)
-    _, rc = tr.get_control(1.0 + 0.1 * (n - 1), np.zeros(nx, np.float32))
-    assert rc == 1
+    # boundary sweep: the last FOH interval (ind == n-2, x[n-2]->x[n-1]) is
+    # valid; only ind >= n-1 is past the end (MPCHelpers.cuh:817-858)
+    for t, want_rc in [
+        (1.0, 0),                        # first step, ind == 0
+        (1.0 + 0.1 * (n - 2), 0),        # start of last interval, ind == n-2
+        (1.0 + 0.1 * (n - 2) + 0.05, 0),  # inside last interval
+        (1.0 + 0.1 * (n - 1), 1),        # past the end fails loudly
+        (1.0 - 0.05, 1),                 # before the start
+    ]:
+        xm = rng.normal(size=nx).astype(np.float32)
+        u_native, rc = tr.get_control(t, xm)
+        assert rc == want_rc, (t, rc, want_rc)
+        u_py, ok = get_hardware_controls(traj, t, xm)
+        assert (rc == 0) == ok
+        if ok:
+            np.testing.assert_allclose(u_native, u_py, rtol=1e-5, atol=1e-6)
     # before any trajectory: rc == 2
     tr2 = NativeTrajRunner(nx, nu)
     _, rc = tr2.get_control(0.0, np.zeros(nx, np.float32))
