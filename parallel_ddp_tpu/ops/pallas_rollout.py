@@ -142,7 +142,14 @@ def make_kuka_fused_rollout(ee_type: int, gravity: float, integrator: int,
 
     Returns None when the shape doesn't fit the kernel's lane/VMEM budget —
     block longer than MAX_NB, or num_alpha * m_blocks_f lanes past one tile —
-    so callers keep the XLA scan path."""
+    so callers keep the XLA scan path.
+
+    `skip_mask` (call-time, optional): (M, Nf) mask of steps that must not be
+    simulated.  Defaults to the static global-horizon mask {k == N-1}.  The
+    'sp' horizon-sharded solver (parallel/sp.py) passes a TRACED chunk-local
+    mask instead — there N/M above are the per-device chunk shape and only the
+    LAST device's final step is the true horizon end, which depends on
+    lax.axis_index and so cannot be baked in at trace time."""
     N = num_time_steps
     M = m_blocks_f
     nf_steps = N // M  # Nf
@@ -151,7 +158,7 @@ def make_kuka_fused_rollout(ee_type: int, gravity: float, integrator: int,
     call = _build(ee_type, gravity, integrator, dt, nf_steps, interpret)
     nf_idx = N - 1
 
-    def fused(x_swept, u, K, du, xp, alphas):
+    def fused(x_swept, u, K, du, xp, alphas, skip_mask=None):
         A = alphas.shape[0]
         L = A * M
         assert L <= _TILE, f"A*M = {L} exceeds one lane tile ({_TILE})"
@@ -175,9 +182,10 @@ def make_kuka_fused_rollout(ee_type: int, gravity: float, integrator: int,
              per_step(du_blk, NJ), per_step(xp_blk, NS)], axis=1
         ).astype(f32)                                    # (Nf, 126, L)
 
-        ks = (np.arange(M)[:, None] * nf_steps + np.arange(nf_steps)[None, :])
-        skip_np = (ks == nf_idx).astype(np.float32)      # (M, Nf)
-        skip = per_step(jnp.asarray(skip_np)[:, :, None], 1)
+        if skip_mask is None:
+            ks = np.arange(M)[:, None] * nf_steps + np.arange(nf_steps)[None, :]
+            skip_mask = jnp.asarray((ks == nf_idx).astype(np.float32))  # (M, Nf)
+        skip = per_step(skip_mask.astype(f32)[:, :, None], 1)
 
         x0_l = jnp.transpose(
             x_swept.reshape(A, M, nf_steps, NS)[:, :, 0], (2, 0, 1)

@@ -47,7 +47,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from parallel_ddp_tpu.config import CostWeights, SolveOutput, SolverConfig
 from parallel_ddp_tpu.costs.base import CostModel
 from parallel_ddp_tpu.models.base import Plant
-from parallel_ddp_tpu.ops.integrators import make_step, make_step_jacobian
+from parallel_ddp_tpu.ops.integrators import (
+    make_step,
+    make_step_jacobian,
+    make_step_jacobian_fd,
+)
 from parallel_ddp_tpu.parallel import forward
 from parallel_ddp_tpu.parallel.backward import make_riccati_step, run_block
 from parallel_ddp_tpu.parallel.forward import line_search
@@ -86,12 +90,30 @@ def _make_solve_local(
     nf = N - 1
 
     step_fn = make_step(plant, cfg.integrator, cfg.dt)
-    step_jac = make_step_jacobian(plant, cfg.integrator, cfg.dt)
+    # production-kernel selection: the SAME policy as the single-program solver
+    # (solver.py:114-128) — chunk-local batches are still batches, so the
+    # Pallas RBD derivative stage and the fused forward-sim kernel apply
+    # per-device unchanged
+    batched_jac = None
+    if cfg.use_finite_diff:
+        step_jac = make_step_jacobian_fd(plant, cfg.integrator, cfg.dt, cfg.fd_eps)
+    elif plant.batched_step_jac is not None:
+        batched_jac = plant.batched_step_jac(cfg.integrator, cfg.dt)
+        step_jac = None
+    else:
+        step_jac = make_step_jacobian(plant, cfg.integrator, cfg.dt)
     alphas = cfg.alphas()
     A = alphas.shape[0]
 
     if cfg.slq:
         raise NotImplementedError("SLQ is single-shooting; use the unsharded solver")
+
+    # fused single-kernel forward simulation over the chunk's (alpha, block)
+    # grid (forwardSimKern twin, ops/pallas_rollout.py): per-device shapes
+    # (Nl, Mf_l) replace (N, M); the true-horizon-end mask is passed traced
+    fused_sim = None
+    if plant.fused_rollout is not None and Mf_l > 0:
+        fused_sim = plant.fused_rollout(cfg.integrator, cfg.dt, Nl, Mf_l, A)
 
     # ---------------- per-device local helpers ----------------
 
@@ -101,7 +123,10 @@ def _make_solve_local(
     def _derivs_local(x_l, u_l, ks, goal, w):
         """AB (padded to Nl rows; global row N-1 zeroed), H, g — block-local
         (integratorGradientKern / costGradientHessianKern, nisInitHelpers.cuh)."""
-        AB_l = jax.vmap(step_jac)(x_l, u_l)
+        if batched_jac is not None:
+            AB_l = batched_jac(x_l, u_l)   # Pallas RBD production path
+        else:
+            AB_l = jax.vmap(step_jac)(x_l, u_l)
         AB_l = jnp.where((ks == nf)[:, None, None], 0.0, AB_l)
         H_l, g_l = jax.vmap(lambda xk, uk, k: cost.quad(xk, uk, k, goal, w))(
             x_l, u_l, ks
@@ -269,17 +294,27 @@ def _make_solve_local(
         xp_blk = xp_l.reshape(Mf_l, Nf, n)
         k_blk = _local_ks(dev).reshape(Mf_l, Nf)
 
-        sim_block = forward.make_sim_block(step_fn, nf, unroll=cfg.scan_unroll)
-
-        def sim_all_blocks(alpha, xs_a):
-            x0s = xs_a.reshape(Mf_l, Nf, n)[:, 0]
-            return jax.vmap(sim_block, in_axes=(None, 0, 0, 0, 0, 0, 0))(
-                alpha, x0s, u_blk, K_blk, du_blk, xp_blk, k_blk
+        if fused_sim is not None:
+            # one kernel for the chunk's whole (alpha, block) grid; only the
+            # LAST device's final step is the horizon end -> traced mask
+            x_next_all, u_new_all = fused_sim(
+                x_swept, u_l, K_l, du_l, xp_l, jnp.asarray(alphas, dtype),
+                skip_mask=(k_blk == nf),
+            )
+        else:
+            sim_block = forward.make_sim_block(
+                step_fn, nf, unroll=cfg.scan_unroll
             )
 
-        x_next_all, u_new_all = jax.vmap(sim_all_blocks)(
-            jnp.asarray(alphas, dtype), x_swept
-        )  # (A, Mf_l, Nf, n/m)
+            def sim_all_blocks(alpha, xs_a):
+                x0s = xs_a.reshape(Mf_l, Nf, n)[:, 0]
+                return jax.vmap(sim_block, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                    alpha, x0s, u_blk, K_blk, du_blk, xp_blk, k_blk
+                )
+
+            x_next_all, u_new_all = jax.vmap(sim_all_blocks)(
+                jnp.asarray(alphas, dtype), x_swept
+            )  # (A, Mf_l, Nf, n/m)
 
         xs_blk = x_swept.reshape(A, Mf_l, Nf, n)
         x_cand = jnp.concatenate(

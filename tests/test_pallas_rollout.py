@@ -84,3 +84,82 @@ def test_fused_rollout_shape_guards():
     assert make_kuka_fused_rollout(1, 9.81, 1, 0.01, 64, 4, 16,
                                    interpret=True) is not None  # Nf=16
     assert MAX_NB >= 16
+
+
+def test_fused_rollout_chunk_skip_mask():
+    """Chunk-local traced skip mask (the 'sp' horizon-sharded use,
+    parallel/sp.py): a chunk that does NOT contain the horizon's final step
+    must simulate every step, and a chunk that does must skip exactly that
+    step — compared against the XLA scan with the same per-step skip flags."""
+    integrator = 2
+    N, M, A = 4, 2, 3
+    soa = KukaSoA(ee_type=1, gravity=9.81)
+    dt = 0.025
+    from parallel_ddp_tpu.models.base import Plant
+
+    plant = Plant(name="kuka_soa_mask_test", n_pos=7, n_ctrl=7,
+                  dynamics=soa.forward_dynamics)
+    step_fn = make_step(plant, integrator, dt)
+
+    rng = np.random.default_rng(1)
+    x_swept = jnp.asarray(rng.normal(0, 0.4, (A, N, 14)), jnp.float32)
+    u = jnp.asarray(rng.normal(0, 2.0, (N, 7)), jnp.float32)
+    K = jnp.asarray(rng.normal(0, 0.2, (N, 7, 14)), jnp.float32)
+    du = jnp.asarray(rng.normal(0, 0.5, (N, 7)), jnp.float32)
+    xp = jnp.asarray(rng.normal(0, 0.4, (N, 14)), jnp.float32)
+    alphas = jnp.asarray([1.0, 0.5, 0.25], jnp.float32)
+
+    fused = make_kuka_fused_rollout(1, 9.81, integrator, dt, N, M, A,
+                                    interpret=True)
+
+    def xla_with_skip(skip):
+        """XLA scan honoring explicit per-step skip flags (the solver's
+        make_sim_block with k==nf replaced by the flag)."""
+        Nf = N // M
+
+        def sim_block(alpha, x0, u_b, K_b, du_b, xp_b, s_b):
+            def body(xc, inp):
+                u_k, K_k, du_k, xp_k, s = inp
+                u_new = u_k - alpha * du_k - K_k @ (xc - xp_k)
+                u_new = jnp.where(s, u_k, u_new)
+                xn = step_fn(xc, u_new)
+                return jnp.where(s, xc, xn), (jnp.where(s, xc, xn), u_new)
+
+            _, (xs, us) = jax.lax.scan(body, x0, (u_b, K_b, du_b, xp_b, s_b))
+            return xs, us
+
+        u_blk = u.reshape(M, Nf, 7)
+        K_blk = K.reshape(M, Nf, 7, 14)
+        du_blk = du.reshape(M, Nf, 7)
+        xp_blk = xp.reshape(M, Nf, 14)
+        s_blk = skip.reshape(M, Nf)
+
+        def sim_all(alpha, xs_a):
+            x0s = xs_a.reshape(M, Nf, 14)[:, 0]
+            return jax.vmap(sim_block, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                alpha, x0s, u_blk, K_blk, du_blk, xp_blk, s_blk
+            )
+
+        return jax.vmap(sim_all)(alphas, x_swept)
+
+    # interior chunk: no step skipped
+    mask_none = jnp.zeros((M, N // M), bool)
+    x_f, u_f = fused(x_swept, u, K, du, xp, alphas, skip_mask=mask_none)
+    x_r, u_r = xla_with_skip(mask_none)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_r),
+                               rtol=2e-5, atol=2e-5)
+
+    # final chunk: the last step is the horizon end
+    mask_last = jnp.zeros((M, N // M), bool).at[-1, -1].set(True)
+    x_f, u_f = fused(x_swept, u, K, du, xp, alphas, skip_mask=mask_last)
+    x_r, u_r = xla_with_skip(mask_last)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_r),
+                               rtol=2e-5, atol=2e-5)
+    # and the masked entries really froze / passed through
+    np.testing.assert_allclose(np.asarray(u_f[:, -1, -1]),
+                               np.asarray(jnp.broadcast_to(u[-1], (A, 7))),
+                               rtol=1e-6)
