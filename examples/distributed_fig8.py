@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--sim-rate", type=float, default=250.0)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--settle-time", type=float, default=4.0)
+    ap.add_argument("--wire", default="native", choices=["native", "lcm"],
+                    help="bus framing: native, or real LCM udpm datagrams "
+                         "(interop with lcm-spy/Drake peers)")
     args = ap.parse_args()
 
     import jax
@@ -64,10 +67,10 @@ def main():
     goal0 = msg.Goal(
         0, np.concatenate([start_xyz, np.zeros(3)]).astype(np.float32))
 
-    bus_solver = PubSub(port=args.port)
-    bus_runner = PubSub(port=args.port)
-    bus_sim = PubSub(port=args.port)
-    bus_goal = PubSub(port=args.port)
+    bus_solver = PubSub(port=args.port, wire=args.wire)
+    bus_runner = PubSub(port=args.port, wire=args.wire)
+    bus_sim = PubSub(port=args.port, wire=args.wire)
+    bus_goal = PubSub(port=args.port, wire=args.wire)
 
     node_solver = MPCLoopNode(ctrl, bus_solver, goal_to_pytree, goal0, weights=w)
     # pre-compile the node's EXACT solve program before going live (a loop
@@ -104,8 +107,9 @@ def main():
             if tau > args.duration:
                 break
             xyz, _ = figure8_goal(tau, args.duration)
-        bus_goal.publish(Channels.GOAL, msg.Goal(
-            0, np.concatenate([xyz, np.zeros(3)]).astype(np.float32)).pack())
+        bus_goal.publish(Channels.GOAL, msg.pack_msg(msg.Goal(
+            0, np.concatenate([xyz, np.zeros(3)]).astype(np.float32)),
+            bus_goal.wire))
         if tracking:
             ee = np.asarray(ee_pos(jnp.asarray(node_sim.x[:7])))[:3]
             errors.append(float(np.linalg.norm(ee - xyz)))

@@ -35,11 +35,30 @@ namespace {
 
 constexpr uint32_t kMagic = 0xDD90DD90u;
 constexpr int kMaxPacket = 65000;
+// LCM udpm wire constants (wire interop with lcm-spy / Drake / the iiwa
+// driver — the reference's plane, LCMHelpers.cuh:23-28).  Big-endian headers:
+// short:  [LC02 u32][msg_seq u32][channel\0][payload]
+// frag:   [LC03 u32][msg_seq u32][msg_size u32][frag_offset u32]
+//         [frag_no u16][frags_in_msg u16][channel\0 iff frag 0][chunk]
+constexpr uint32_t kLcmMagicShort = 0x4c433032u;  // "LC02"
+constexpr uint32_t kLcmMagicLong = 0x4c433033u;   // "LC03"
+constexpr int kLcmMaxDatagram = 65499;
+constexpr int kLcmFragHdr = 20;
+constexpr int kLcmMaxMessage = 4 << 20;  // sanity cap on reassembled size
 
 struct Slot {
   std::vector<uint8_t> data;
   double t_recv = -1.0;
   uint64_t seq = 0;
+};
+
+struct Reassembly {
+  uint32_t msg_seq = 0;
+  uint32_t size = 0;
+  uint32_t got = 0;
+  bool have_channel = false;
+  std::string channel;
+  std::vector<uint8_t> buf;
 };
 
 double now_s() {
@@ -56,6 +75,9 @@ struct Bus {
   std::atomic<bool> running{false};
   std::mutex mu;
   std::unordered_map<std::string, Slot> slots;  // subscribed channels only
+  int wire = 0;          // 0 = native framing, 1 = LCM udpm framing (tx side)
+  uint32_t tx_seq = 0;   // LCM per-publisher message sequence
+  std::unordered_map<uint64_t, Reassembly> reasm;  // keyed by sender ip:port
 
   ~Bus() { stop(); }
 
@@ -73,10 +95,23 @@ struct Bus {
     }
   }
 
+  void deliver(const std::string& channel, const uint8_t* payload,
+               size_t plen) {
+    std::lock_guard<std::mutex> lk(mu);
+    auto it = slots.find(channel);
+    if (it == slots.end()) return;  // not subscribed
+    it->second.data.assign(payload, payload + plen);
+    it->second.t_recv = now_s();
+    it->second.seq++;
+  }
+
   void rx_loop() {
-    std::vector<uint8_t> buf(kMaxPacket);
+    std::vector<uint8_t> buf(65536);
     while (running) {
-      ssize_t n = recv(recv_fd, buf.data(), buf.size(), 0);
+      sockaddr_in src{};
+      socklen_t srclen = sizeof(src);
+      ssize_t n = recvfrom(recv_fd, buf.data(), buf.size(), 0,
+                           reinterpret_cast<sockaddr*>(&src), &srclen);
       if (n <= 0) {
         if (!running) break;
         continue;
@@ -84,18 +119,71 @@ struct Bus {
       if (n < 5) continue;
       uint32_t magic;
       memcpy(&magic, buf.data(), 4);
-      if (magic != kMagic) continue;
-      uint8_t clen = buf[4];
-      if (5 + clen > n) continue;
-      std::string channel(reinterpret_cast<char*>(buf.data()) + 5, clen);
-      const uint8_t* payload = buf.data() + 5 + clen;
-      size_t plen = n - 5 - clen;
-      std::lock_guard<std::mutex> lk(mu);
-      auto it = slots.find(channel);
-      if (it == slots.end()) continue;  // not subscribed
-      it->second.data.assign(payload, payload + plen);
-      it->second.t_recv = now_s();
-      it->second.seq++;
+      if (magic == kMagic) {
+        // native framing: [magic][clen u8][channel][payload]
+        uint8_t clen = buf[4];
+        if (5 + clen > n) continue;
+        std::string channel(reinterpret_cast<char*>(buf.data()) + 5, clen);
+        deliver(channel, buf.data() + 5 + clen, n - 5 - clen);
+        continue;
+      }
+      // receivers auto-detect LCM framing regardless of the tx wire mode
+      uint32_t magic_be = ntohl(magic);
+      if (magic_be == kLcmMagicShort) {
+        if (n < 9) continue;
+        const uint8_t* z = static_cast<const uint8_t*>(
+            memchr(buf.data() + 8, 0, n - 8));
+        if (!z) continue;
+        std::string channel(reinterpret_cast<const char*>(buf.data()) + 8,
+                            z - (buf.data() + 8));
+        const uint8_t* payload = z + 1;
+        deliver(channel, payload, buf.data() + n - payload);
+        continue;
+      }
+      if (magic_be == kLcmMagicLong) {
+        if (n < kLcmFragHdr) continue;
+        uint32_t seq, size, off;
+        uint16_t fno, nfrag;
+        memcpy(&seq, buf.data() + 4, 4);
+        memcpy(&size, buf.data() + 8, 4);
+        memcpy(&off, buf.data() + 12, 4);
+        memcpy(&fno, buf.data() + 16, 2);
+        memcpy(&nfrag, buf.data() + 18, 2);
+        seq = ntohl(seq);
+        size = ntohl(size);
+        off = ntohl(off);
+        fno = ntohs(fno);
+        nfrag = ntohs(nfrag);
+        if (size > static_cast<uint32_t>(kLcmMaxMessage)) continue;
+        uint64_t key = (static_cast<uint64_t>(src.sin_addr.s_addr) << 16) |
+                       src.sin_port;
+        Reassembly& r = reasm[key];
+        if (r.msg_seq != seq || r.size != size || r.buf.size() != size) {
+          r = Reassembly{};
+          r.msg_seq = seq;
+          r.size = size;
+          r.buf.resize(size);
+        }
+        const uint8_t* body = buf.data() + kLcmFragHdr;
+        size_t blen = n - kLcmFragHdr;
+        if (fno == 0) {
+          const uint8_t* z = static_cast<const uint8_t*>(
+              memchr(body, 0, blen));
+          if (!z) continue;
+          r.channel.assign(reinterpret_cast<const char*>(body), z - body);
+          r.have_channel = true;
+          blen -= (z + 1 - body);
+          body = z + 1;
+        }
+        if (off + blen > size) continue;
+        memcpy(r.buf.data() + off, body, blen);
+        r.got += blen;
+        if (r.got >= size && r.have_channel) {
+          deliver(r.channel, r.buf.data(), r.buf.size());
+          reasm.erase(key);
+        }
+        continue;
+      }
     }
   }
 };
@@ -114,8 +202,11 @@ extern "C" {
 
 // ---------------- pub/sub bus ----------------
 
-void* ps_create(const char* group, int port, int ttl, int loopback) {
+// wire: 0 = native framing, 1 = LCM udpm framing on publish (receive always
+// auto-detects both, so mixed fleets interoperate)
+void* ps_create(const char* group, int port, int ttl, int loopback, int wire) {
   auto* bus = new Bus();
+  bus->wire = wire;
   bus->send_fd = socket(AF_INET, SOCK_DGRAM, 0);
   bus->recv_fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (bus->send_fd < 0 || bus->recv_fd < 0) {
@@ -162,19 +253,81 @@ int ps_subscribe(void* h, const char* channel) {
   return 0;
 }
 
+namespace {
+
+int send_pkt(Bus* bus, const uint8_t* pkt, size_t len) {
+  ssize_t sent = sendto(bus->send_fd, pkt, len, 0,
+                        reinterpret_cast<sockaddr*>(&bus->group_addr),
+                        sizeof(bus->group_addr));
+  return sent == static_cast<ssize_t>(len) ? 0 : -1;
+}
+
+int publish_lcm(Bus* bus, const char* channel, const uint8_t* data, int len) {
+  size_t clen = strlen(channel);
+  uint32_t seq;
+  {
+    std::lock_guard<std::mutex> lk(bus->mu);
+    seq = bus->tx_seq++;
+  }
+  uint32_t seq_be = htonl(seq);
+  if (static_cast<int>(8 + clen + 1 + len) <= kLcmMaxDatagram) {
+    std::vector<uint8_t> pkt(8 + clen + 1 + len);
+    uint32_t magic_be = htonl(kLcmMagicShort);
+    memcpy(pkt.data(), &magic_be, 4);
+    memcpy(pkt.data() + 4, &seq_be, 4);
+    memcpy(pkt.data() + 8, channel, clen);
+    pkt[8 + clen] = 0;
+    memcpy(pkt.data() + 9 + clen, data, len);
+    return send_pkt(bus, pkt.data(), pkt.size());
+  }
+  if (len > kLcmMaxMessage) return -1;
+  uint32_t magic_be = htonl(kLcmMagicLong);
+  uint32_t size_be = htonl(static_cast<uint32_t>(len));
+  int max0 = kLcmMaxDatagram - kLcmFragHdr - static_cast<int>(clen) - 1;
+  int maxn = kLcmMaxDatagram - kLcmFragHdr;
+  int nfrag = 1;
+  for (int left = len - max0; left > 0; left -= maxn) nfrag++;
+  int off = 0;
+  for (int i = 0; i < nfrag; ++i) {
+    int chunk = i == 0 ? max0 : maxn;
+    if (chunk > len - off) chunk = len - off;
+    std::vector<uint8_t> pkt;
+    pkt.reserve(kLcmFragHdr + clen + 1 + chunk);
+    pkt.resize(kLcmFragHdr);
+    memcpy(pkt.data(), &magic_be, 4);
+    memcpy(pkt.data() + 4, &seq_be, 4);
+    memcpy(pkt.data() + 8, &size_be, 4);
+    uint32_t off_be = htonl(static_cast<uint32_t>(off));
+    memcpy(pkt.data() + 12, &off_be, 4);
+    uint16_t fno_be = htons(static_cast<uint16_t>(i));
+    uint16_t nfr_be = htons(static_cast<uint16_t>(nfrag));
+    memcpy(pkt.data() + 16, &fno_be, 2);
+    memcpy(pkt.data() + 18, &nfr_be, 2);
+    if (i == 0) {
+      pkt.insert(pkt.end(), channel, channel + clen);
+      pkt.push_back(0);
+    }
+    pkt.insert(pkt.end(), data + off, data + off + chunk);
+    if (send_pkt(bus, pkt.data(), pkt.size()) != 0) return -1;
+    off += chunk;
+  }
+  return 0;
+}
+
+}  // namespace
+
 int ps_publish(void* h, const char* channel, const uint8_t* data, int len) {
   auto* bus = static_cast<Bus*>(h);
   size_t clen = strlen(channel);
-  if (clen > 255 || len + clen + 5 > kMaxPacket) return -1;
+  if (clen > 255) return -1;
+  if (bus->wire == 1) return publish_lcm(bus, channel, data, len);
+  if (len + clen + 5 > kMaxPacket) return -1;
   std::vector<uint8_t> pkt(5 + clen + len);
   memcpy(pkt.data(), &kMagic, 4);
   pkt[4] = static_cast<uint8_t>(clen);
   memcpy(pkt.data() + 5, channel, clen);
   memcpy(pkt.data() + 5 + clen, data, len);
-  ssize_t sent = sendto(bus->send_fd, pkt.data(), pkt.size(), 0,
-                        reinterpret_cast<sockaddr*>(&bus->group_addr),
-                        sizeof(bus->group_addr));
-  return sent == static_cast<ssize_t>(pkt.size()) ? 0 : -1;
+  return send_pkt(bus, pkt.data(), pkt.size());
 }
 
 // Returns payload length (>=0) and fills buf/t_recv/seq; -1 if nothing yet.

@@ -46,26 +46,47 @@ def make_batched_solver(
     sharded over `batch_axis`.
 
     x0s: (B, N, n), u0s: (B, N, m), goals: pytree with leading B on each leaf.
-    Each scenario is an independent warm-startable solve; XLA partitions the
-    vmapped program across the mesh with no cross-scenario communication.
+    Each scenario is an independent warm-startable solve with ZERO
+    cross-scenario communication, so the partitioning is stated manually with
+    shard_map (local vmap per device) rather than left to the GSPMD
+    partitioner: sharding-annotated vmap over a while_loop let the partitioner
+    replicate the loop carry, turning the embarrassingly-parallel batch into
+    per-iteration all-gathers (10x wall time at dp=8 on the virtual mesh —
+    benchmarks/mesh_scaling.py caught it; shard_map makes zero-collective a
+    structural guarantee, not a partitioner mood).
     """
     solver = make_ilqr_solver(plant, cost, cfg)
+    S = mesh.shape[batch_axis]
 
-    def _one(x0, u0, goal, weights):
-        return solver(
-            x0, u0, goal, weights, initial_rollout=initial_rollout
-        )
+    def _local(x0s_l, u0s_l, goals_l, weights):
+        return jax.vmap(
+            lambda x0, u0, g: solver(
+                x0, u0, g, weights, initial_rollout=initial_rollout
+            )
+        )(x0s_l, u0s_l, goals_l)
 
-    batched = jax.vmap(_one, in_axes=(0, 0, 0, None))
-
-    shard_b = NamedSharding(mesh, P(batch_axis))
-    rep = NamedSharding(mesh, P())
+    shard_b = P(batch_axis)
+    rep = P()
 
     def solve_batch(x0s, u0s, goals, weights: Optional[CostWeights] = None):
+        if x0s.shape[0] % S:
+            raise ValueError(
+                f"batch {x0s.shape[0]} not divisible by the "
+                f"'{batch_axis}' axis size {S}"
+            )
         w = weights if weights is not None else CostWeights()
-        x0s = jax.device_put(x0s, shard_b)
-        u0s = jax.device_put(u0s, shard_b)
-        goals = jax.tree_util.tree_map(lambda a: jax.device_put(a, shard_b), goals)
-        return batched(x0s, u0s, goals, w)
+        goal_spec = jax.tree_util.tree_map(lambda _: shard_b, goals)
+        w_spec = jax.tree_util.tree_map(lambda _: rep, w)
+        out_spec = jax.tree_util.tree_map(
+            lambda _: shard_b, jax.eval_shape(_local, x0s, u0s, goals, w)
+        )
+        fn = jax.shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(shard_b, shard_b, goal_spec, w_spec),
+            out_specs=out_spec,
+            check_vma=False,
+        )
+        return fn(jnp.asarray(x0s), jnp.asarray(u0s), goals, w)
 
     return jax.jit(solve_batch)

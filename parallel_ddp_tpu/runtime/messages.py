@@ -1,13 +1,23 @@
 """Wire message schemas — the lcmtypes equivalents (lcmtypes/*.lcm).
 
-Simple little-endian numpy packing: [u32 type id][u32 lengths...][payload].
-Schemas mirror the reference's message set:
-  Status      <- lcmt_iiwa_status (q, qd, measured torque, utime)
-  Command     <- lcmt_iiwa_command (torque + reference q)
-  Trajectory  <- lcmt_trajectory_f (t0, x, u, K flattened)
-  Goal        <- lcmt_target_position / lcmt_target_twist (EE pose or joint goal)
-  CostParams  <- lcmt_cost_params (the 18 runtime weights)
-  SolverParams<- lcmt_solver_params (iter/time limits, clearVars, costShift)
+Two wire formats per message:
+  * native: simple little-endian numpy packing
+    [u32 type id][u32 lengths...][payload] — compact, carries everything
+    (e.g. Trajectory.dt, Goal.x_target);
+  * lcm: the REAL lcmt_* binary layout (runtime/lcm_wire.py) — byte-compatible
+    with generated LCM bindings, lcm-spy, Drake and the iiwa driver.
+
+`pack_msg(m, wire)` selects the format; every `unpack` auto-detects (LCM
+messages open with a known 8-byte type fingerprint).  Schema mapping:
+  Status      <-> drake.lcmt_iiwa_status (q, qd, measured torque, utime)
+  Command     <-> drake.lcmt_iiwa_command (torque + reference q)
+  CommandHardware <-> drake.lcmt_iiwa_command_hardware (adds wrench[6])
+  Trajectory  <-> drake.lcmt_trajectory_f (t0, x, u, KT flattened; dt and the
+                  horizon length are consumer configuration on the LCM wire)
+  Goal        <-> kuka.lcmt_target_position / lcmt_target_twist
+  CostParams  <-> kuka.lcmt_cost_params (the 18 wire weights)
+  SolverParams<-> kuka.lcmt_solver_params (iter/time limits, clearVars, costShift)
+  ControllerReference <-> kuka.lcmt_robot_controller_reference
 """
 
 from __future__ import annotations
@@ -21,6 +31,17 @@ import numpy as np
 from parallel_ddp_tpu.config import CostWeights
 
 _TYPES = {}
+
+
+def _lw():
+    from parallel_ddp_tpu.runtime import lcm_wire
+
+    return lcm_wire
+
+
+def _registered_lcm(buf: bytes):
+    """The LcmStruct whose fingerprint opens buf, or None (native format)."""
+    return _lw().is_lcm(buf)
 
 
 def _register(type_id):
@@ -73,6 +94,8 @@ class Status:
 
     @staticmethod
     def unpack(buf: bytes) -> "Status":
+        if _registered_lcm(buf):
+            return _lw().status_from_lcm(buf)
         _, s, (q, qd, tau) = _unpack_arrays(buf)
         return Status(struct.unpack("<d", s)[0], q, qd, tau)
 
@@ -94,6 +117,8 @@ class Command:
 
     @staticmethod
     def unpack(buf: bytes) -> "Command":
+        if _registered_lcm(buf):
+            return _lw().command_from_lcm(buf)
         _, s, (tau, qr) = _unpack_arrays(buf)
         return Command(struct.unpack("<d", s)[0], tau, qr)
 
@@ -114,7 +139,18 @@ class Trajectory:
         return _pack_arrays(3, s, self.x.ravel(), self.u.ravel(), self.K.ravel())
 
     @staticmethod
-    def unpack(buf: bytes) -> "Trajectory":
+    def unpack(buf: bytes, nx: Optional[int] = None, nu: Optional[int] = None,
+               dt: Optional[float] = None,
+               n: Optional[int] = None) -> "Trajectory":
+        """nx/nu/dt (and n, for reference-quirk byte-size messages) are
+        required to decode the LCM layout, which does not carry them — the
+        reference's are compile-time constants.  Native buffers ignore them."""
+        if _registered_lcm(buf):
+            if nx is None or nu is None or dt is None:
+                raise ValueError(
+                    "lcmt_trajectory_f needs nx/nu/dt hints to decode"
+                )
+            return _lw().trajectory_from_lcm(buf, nx, nu, dt, n=n)
         _, s, (x, u, k) = _unpack_arrays(buf)
         t0, dt, n, nx, nu = struct.unpack("<ddIII", s)
         return Trajectory(t0, dt, x.reshape(n, nx), u.reshape(n, nu),
@@ -149,6 +185,8 @@ class Goal:
 
     @staticmethod
     def unpack(buf: bytes) -> "Goal":
+        if _registered_lcm(buf):
+            return _lw().goal_from_lcm(buf)
         _, s, (v, xt) = _unpack_arrays(buf)
         return Goal(struct.unpack("<i", s)[0], v, xt if xt.size else None)
 
@@ -163,6 +201,8 @@ class CostParams:
 
     @staticmethod
     def unpack(buf: bytes) -> "CostParams":
+        if _registered_lcm(buf):
+            return _lw().cost_params_from_lcm(buf)
         _, _, (w,) = _unpack_arrays(buf)
         return CostParams(CostWeights(*[float(v) for v in w]))
 
@@ -182,6 +222,8 @@ class SolverParams:
 
     @staticmethod
     def unpack(buf: bytes) -> "SolverParams":
+        if _registered_lcm(buf):
+            return _lw().solver_params_from_lcm(buf)
         _, s, _ = _unpack_arrays(buf)
         it, tl, cv, cs = struct.unpack("<idii", s)
         return SolverParams(it, tl, bool(cv), cs)
@@ -207,6 +249,8 @@ class CommandHardware:
 
     @staticmethod
     def unpack(buf: bytes) -> "CommandHardware":
+        if _registered_lcm(buf):
+            return _lw().command_hardware_from_lcm(buf)
         _, s, (q, tau, w) = _unpack_arrays(buf)
         return CommandHardware(struct.unpack("<d", s)[0], q, tau, w)
 
@@ -229,10 +273,54 @@ class ControllerReference:
 
     @staticmethod
     def unpack(buf: bytes) -> "ControllerReference":
+        if _registered_lcm(buf):
+            return _lw().controller_reference_from_lcm(buf)
         _, s, (q, qd, qdd, u) = _unpack_arrays(buf)
         return ControllerReference(struct.unpack("<d", s)[0], q, qd, qdd, u)
 
 
+def pack_msg(m, wire: str = "native") -> bytes:
+    """Encode `m` for the chosen wire (PubSub.wire).  LCM encodings are the
+    reference's lcmt_* layouts (runtime/lcm_wire.py); the Goal x_target and
+    the Trajectory dt do not exist on the LCM wire (consumer configuration,
+    exactly as in the reference)."""
+    if wire == "native":
+        return m.pack()
+    if wire != "lcm":
+        raise ValueError(f"unknown wire {wire!r}")
+    lw = _lw()
+    enc = {
+        Status: lw.status_to_lcm,
+        Command: lw.command_to_lcm,
+        CommandHardware: lw.command_hardware_to_lcm,
+        Trajectory: lw.trajectory_to_lcm,
+        Goal: lw.goal_to_lcm,
+        CostParams: lw.cost_params_to_lcm,
+        SolverParams: lw.solver_params_to_lcm,
+        ControllerReference: lw.controller_reference_to_lcm,
+    }[type(m)]
+    return enc(m)
+
+
 def unpack_any(buf: bytes):
+    t = _registered_lcm(buf)
+    if t is not None:
+        lw = _lw()
+        dec = {
+            "drake.lcmt_iiwa_status": lw.status_from_lcm,
+            "drake.lcmt_iiwa_command": lw.command_from_lcm,
+            "drake.lcmt_iiwa_command_hardware": lw.command_hardware_from_lcm,
+            "kuka.lcmt_target_position": lw.goal_from_lcm,
+            "kuka.lcmt_target_twist": lw.goal_from_lcm,
+            "kuka.lcmt_cost_params": lw.cost_params_from_lcm,
+            "kuka.lcmt_solver_params": lw.solver_params_from_lcm,
+            "kuka.lcmt_robot_controller_reference":
+                lw.controller_reference_from_lcm,
+        }.get(t.full_name)
+        if dec is None:
+            raise ValueError(
+                f"{t.full_name} needs shape hints; use Trajectory.unpack"
+            )
+        return dec(buf)
     type_id, _, _ = _unpack_arrays(buf)
     return _TYPES[type_id].unpack(buf)

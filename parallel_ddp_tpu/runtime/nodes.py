@@ -184,13 +184,24 @@ class MPCLoopNode:
                 x=np.asarray(self.state.x), u=np.asarray(self.state.u),
                 K=np.asarray(self.state.K),
             )
-            self.bus.publish(Channels.TRAJ, traj.pack())
+            self.bus.publish(Channels.TRAJ, msg.pack_msg(traj, self.bus.wire))
 
 
 class TrajRunnerNode:
     def __init__(self, n_state: int, n_ctrl: int, bus: PubSub,
-                 use_feedback: bool = True):
+                 use_feedback: bool = True,
+                 traj_dt: Optional[float] = None,
+                 traj_n: Optional[int] = None):
+        """traj_dt (and traj_n for reference byte-size-quirk peers) configure
+        decoding of LCM-format trajectories, whose wire carries neither — the
+        reference's equivalents are compile-time constants
+        (TRAJ_RUNNER_TIME_STEPS, LCMHelpers.cuh:100-123).  Native-format
+        trajectories carry dt and need neither."""
         self.bus = bus
+        self.n_state = n_state
+        self.n_ctrl = n_ctrl
+        self.traj_dt = traj_dt
+        self.traj_n = traj_n
         self.native = NativeTrajRunner(n_state, n_ctrl)
         self.use_feedback = use_feedback
         self.command_count = 0
@@ -202,7 +213,9 @@ class TrajRunnerNode:
         while not stop.is_set():
             m = self.bus.poll_new(Channels.TRAJ)
             if m:
-                t = msg.Trajectory.unpack(m[0])
+                t = msg.Trajectory.unpack(m[0], nx=self.n_state,
+                                          nu=self.n_ctrl, dt=self.traj_dt,
+                                          n=self.traj_n)
                 self.native.set_traj(t.x, t.u, t.K, t.t0, t.dt)
             m = self.bus.poll_new(Channels.STATUS)
             if not m:
@@ -214,7 +227,8 @@ class TrajRunnerNode:
             if rc == 0:
                 self.bus.publish(
                     Channels.COMMAND,
-                    msg.Command(status.utime, u, status.q).pack(),
+                    msg.pack_msg(msg.Command(status.utime, u, status.q),
+                                 self.bus.wire),
                 )
                 self.command_count += 1
             elif rc == 1:
@@ -247,7 +261,10 @@ class SimulatorNode:
     def publish_status(self):
         self.bus.publish(
             Channels.STATUS,
-            msg.Status(self.t, self.x[: self.n_pos], self.x[self.n_pos:]).pack(),
+            msg.pack_msg(
+                msg.Status(self.t, self.x[: self.n_pos], self.x[self.n_pos:]),
+                self.bus.wire,
+            ),
         )
 
     def tick(self):
@@ -304,7 +321,8 @@ class StatusFilterNode:
             else:
                 out = s
             self.prev = s
-            self.bus.publish(Channels.STATUS_FILTERED, out.pack())
+            self.bus.publish(Channels.STATUS_FILTERED,
+                             msg.pack_msg(out, self.bus.wire))
 
 
 class TrajPlaybackNode:
@@ -333,10 +351,13 @@ class TrajPlaybackNode:
         tau = (self.u_traj[k] if self.torque_mode
                else np.zeros_like(self.u_traj[k]))
         if self.hardware_mode:
-            return msg.CommandHardware(
-                utime, self.q_traj[k], tau, np.zeros(6, np.float32)
-            ).pack()
-        return msg.Command(utime, tau, self.q_traj[k]).pack()
+            return msg.pack_msg(
+                msg.CommandHardware(utime, self.q_traj[k], tau,
+                                    np.zeros(6, np.float32)),
+                self.bus.wire,
+            )
+        return msg.pack_msg(msg.Command(utime, tau, self.q_traj[k]),
+                            self.bus.wire)
 
     def run(self, stop: threading.Event, poll_s: float = 0.0002):
         # latch t0 from the first status (handleMessage, PIDTrajTracker.cu:51-53)

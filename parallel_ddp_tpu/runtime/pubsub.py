@@ -41,7 +41,10 @@ def _load_lib() -> ctypes.CDLL:
         subprocess.run(["make", "-C", _LIB_DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.ps_create.restype = ctypes.c_void_p
-    lib.ps_create.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.ps_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
     lib.ps_destroy.argtypes = [ctypes.c_void_p]
     lib.ps_subscribe.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.ps_publish.restype = ctypes.c_int
@@ -80,12 +83,23 @@ def lib() -> ctypes.CDLL:
 
 
 class PubSub:
-    """Named-channel pub/sub with latest-wins delivery."""
+    """Named-channel pub/sub with latest-wins delivery.
+
+    wire="native" publishes the compact native framing; wire="lcm" publishes
+    real LCM udpm datagrams (magic LC02/LC03, runtime/lcm_wire.py), making the
+    bus a first-class peer of lcm-spy / Drake / the iiwa driver — the
+    reference's plane (LCMHelpers.cuh:23-28).  RECEIVING auto-detects both
+    framings regardless of this flag, so mixed fleets interoperate.  Default
+    group/port are LCM's defaults."""
 
     def __init__(self, group: str = "239.255.76.67", port: int = 7667,
-                 ttl: int = 0, loopback: bool = True):
+                 ttl: int = 0, loopback: bool = True, wire: str = "native"):
+        if wire not in ("native", "lcm"):
+            raise ValueError(f"wire must be 'native' or 'lcm', got {wire!r}")
+        self.wire = wire
         self._lib = lib()
-        self._h = self._lib.ps_create(group.encode(), port, ttl, int(loopback))
+        self._h = self._lib.ps_create(group.encode(), port, ttl, int(loopback),
+                                      1 if wire == "lcm" else 0)
         if not self._h:
             raise RuntimeError("failed to create multicast pub/sub bus")
         self._seen: dict = {}
