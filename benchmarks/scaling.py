@@ -22,7 +22,7 @@ sys.path.insert(0, ".")
 
 
 def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
-                   core="auto"):
+                   core="auto", bf16=False):
     """Scenario-batched throughput -> bench dict (importable from bench.py so
     the BASELINE 'solves/s per chip' metric lands in the driver artifact).
 
@@ -32,7 +32,12 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
     (ops/pallas_rbd.py).  bench.py measures both and records the winner —
     under scenario-vmap each solve's 63-sample derivative batch occupies 6%
     of the kernels' native 1024-lane tile, so which path wins at a given
-    scenario batch is an empirical question the artifact should answer."""
+    scenario batch is an empirical question the artifact should answer.
+
+    `bf16` turns on the reduced-precision forward path (SolverConfig
+    bf16_rollout + bf16_cost: bf16 compute / fp32 accumulation in the rollout
+    and cost stages, Riccati pinned fp32) — the throughput study of
+    config.cuh:72-75 done right; tests/test_bf16.py is the oracle gate."""
     import dataclasses
 
     import jax
@@ -43,7 +48,8 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
     from parallel_ddp_tpu.solver import make_ilqr_solver
 
     prob = kuka_ee(core=core)
-    cfg = dataclasses.replace(prob.cfg, max_iter=iters, tol_cost=0.0)
+    cfg = dataclasses.replace(prob.cfg, max_iter=iters, tol_cost=0.0,
+                              bf16_rollout=bf16, bf16_cost=bf16)
     rng = np.random.default_rng(0)
     n = cfg.num_time_steps
     goal1 = ee_goal([0.0, -0.55, 0.35])
@@ -103,9 +109,9 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
         "metric": "kuka_n64_batched_solves_per_s_per_chip",
         "value": best,
         "unit": f"solves/s ({iters}-iter warm EE solve, batched scenarios, "
-                f"core={core})",
+                f"core={core}, bf16={bf16})",
         "vs_baseline": round(best / 97.0, 1),
-        "extra": {"core": core, **results},
+        "extra": {"core": core, "bf16": bf16, **results},
     }
 
 

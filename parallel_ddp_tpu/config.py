@@ -102,6 +102,29 @@ class SolverConfig:
     # dispatches but a bigger program; 4 measured best at round-1 shapes —
     # re-tune on hardware with benchmarks/latency.py when shapes change.
     scan_unroll: int = 4
+    # Reduced-precision FORWARD path (config.cuh:72-75 done right: the
+    # reference's fp16 toggle is declared broken there; here bf16 applies only
+    # to stages the oracle suite certifies, each with fp32 accumulation, and
+    # the Riccati recursion stays pinned at fp32 "highest" matmul precision —
+    # see solver.py:143-147 for why it must).  Single-program solver path.
+    #   bf16_rollout: the multiple-shooting forward simulation computes in
+    #     bfloat16 (states/controls cast per step; the scalar-channel RBD core
+    #     keeps weak-typed constants so channel math stays bf16) and its
+    #     matmuls run at the MXU's native one-pass bf16 precision.  The
+    #     trajectory handed back is fp32.  Takes precedence over the fused
+    #     Pallas rollout (which is an fp32 kernel).
+    #   bf16_cost: per-step stage costs evaluate on bf16-cast states with the
+    #     per-alpha total accumulated in fp32.  NOTE bf16's ~3e-3 relative
+    #     noise sits above the default tol_cost=1e-4 convergence test — use
+    #     for fixed-iteration throughput solves, not tolerance-exit solves.
+    bf16_rollout: bool = False
+    bf16_cost: bool = False
+    # fuse the whole block-parallel backward sweep into ONE Pallas kernel per
+    # rho attempt (the backPassKern twin, ops/pallas_riccati.py) instead of
+    # the vmapped lax.scan — removes the per-step dispatch overhead that
+    # dominates the backward pass on the latency path.  Falls back to the XLA
+    # scan automatically when the shape exceeds the kernel's lane/VMEM budget.
+    pallas_riccati: bool = False
 
     @property
     def dt(self) -> float:
@@ -127,6 +150,11 @@ class SolverConfig:
                 "bp_assoc_scan requires state_reg=False (plain Huu += rho I "
                 "regularization folds into the scan elements; Tassa state-reg "
                 "does not)"
+            )
+        if self.bp_assoc_scan and self.pallas_riccati:
+            raise ValueError(
+                "bp_assoc_scan and pallas_riccati are mutually exclusive "
+                "backward-pass strategies"
             )
 
     def alphas(self, dtype=None):
@@ -201,3 +229,7 @@ class SolveOutput(NamedTuple):
     last_feasible: jnp.ndarray = None  # last line search had some candidate
                                        # with J non-increasing and defect in
                                        # bound (rejection = conservatism)
+    defect_trace: jnp.ndarray = None  # (max_iter+1,) accepted max-L1 defect
+                                      # per iteration (defectKern metric,
+                                      # fpHelpers.cuh:94-111, archived per
+                                      # iteration for convergence anchoring)

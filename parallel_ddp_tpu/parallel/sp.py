@@ -212,21 +212,39 @@ def _make_solve_local(
         d_blk = d_l.reshape(Mb_l, Nb, n)
         k_blk = _local_ks(dev).reshape(Mb_l, Nb)
 
-        def attempt(rho):
-            outs = jax.vmap(
-                lambda sP, sp_, ab, Hb, gb, db, kb: run_block(
-                    rstep, rho, sP, sp_, ab, Hb, gb, db, kb,
-                    unroll=cfg.scan_unroll,
-                )
-            )(seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk)
-            P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o = outs
-            flat = lambda a: a.reshape((Nl,) + a.shape[2:])
-            dJexp = lax.psum(jnp.sum(dj_o, axis=(0, 1)), axis)
-            fail = _p_any(jnp.any(fail_o), axis)
-            return (
-                flat(P_o), flat(p_o), flat(K_o), flat(du_o),
-                flat(ApBK_o), flat(Bdu_o), dJexp, fail,
+        pallas_bp = None
+        if cfg.pallas_riccati:
+            # fused single-kernel chunk sweep (ops/pallas_riccati.py); the
+            # TRACED chunk-local k_blk flows straight into the kernel's masks
+            from parallel_ddp_tpu.ops.pallas_riccati import (
+                make_riccati_block_call,
             )
+            pallas_bp = make_riccati_block_call(cfg, n, m, mb=Mb_l)
+
+        if pallas_bp is not None:
+            def attempt(rho):
+                outs = pallas_bp(
+                    rho, seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk
+                )
+                dJexp = lax.psum(outs[6], axis)
+                fail = _p_any(outs[7], axis)
+                return outs[:6] + (dJexp, fail)
+        else:
+            def attempt(rho):
+                outs = jax.vmap(
+                    lambda sP, sp_, ab, Hb, gb, db, kb: run_block(
+                        rstep, rho, sP, sp_, ab, Hb, gb, db, kb,
+                        unroll=cfg.scan_unroll,
+                    )
+                )(seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk)
+                P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o = outs
+                flat = lambda a: a.reshape((Nl,) + a.shape[2:])
+                dJexp = lax.psum(jnp.sum(dj_o, axis=(0, 1)), axis)
+                fail = _p_any(jnp.any(fail_o), axis)
+                return (
+                    flat(P_o), flat(p_o), flat(K_o), flat(du_o),
+                    flat(ApBK_o), flat(Bdu_o), dJexp, fail,
+                )
 
         def retry_cond(state):
             _, fail, rho, drho, tries = state
@@ -377,6 +395,10 @@ def _make_solve_local(
             jnp.full((cfg.max_iter + 1,), -2, jnp.int32)
             .at[0].set(0 if initial_rollout else -1)
         )
+        d0_metric = lax.pmax(jnp.max(jnp.sum(jnp.abs(d_l), axis=-1)), axis)
+        defect_trace = (
+            jnp.full((cfg.max_iter + 1,), jnp.nan, dtype).at[0].set(d0_metric)
+        )
 
         carry0 = dict(
             x=x_l, u=u_l, d=d_l, xp=x_l, xp2=x_l,
@@ -390,6 +412,7 @@ def _make_solve_local(
             done=jnp.asarray(False), converged=jnp.asarray(False),
             feasible=jnp.asarray(True),
             J_trace=J_trace, alpha_trace=alpha_trace,
+            defect_trace=defect_trace,
             max_defect=jnp.asarray(0.0, dtype),
         )
 
@@ -435,6 +458,10 @@ def _make_solve_local(
             alpha_trace = c["alpha_trace"].at[c["it"]].set(
                 jnp.where(accept, ls.alpha_idx, -1).astype(jnp.int32)
             )
+            d_metric = lax.pmax(
+                jnp.max(jnp.sum(jnp.abs(d_new), axis=-1)), axis
+            )
+            defect_trace = c["defect_trace"].at[c["it"]].set(d_metric)
 
             converged = jnp.where(
                 accept,
@@ -460,6 +487,7 @@ def _make_solve_local(
                 it=c["it"] + 1, done=done, converged=converged,
                 feasible=ls.any_feasible,
                 J_trace=J_trace, alpha_trace=alpha_trace,
+                defect_trace=defect_trace,
                 max_defect=jnp.where(accept, ls.max_defect, c["max_defect"]),
             )
 
@@ -472,6 +500,7 @@ def _make_solve_local(
             J_trace=final["J_trace"], alpha_trace=final["alpha_trace"],
             rho=final["rho"], max_defect=final["max_defect"],
             converged=final["converged"], last_feasible=final["feasible"],
+            defect_trace=final["defect_trace"],
         )
 
     return solve_local
@@ -503,7 +532,7 @@ def make_sp_solver(
     out_specs = SolveOutput(
         x=sharded, u=sharded, K=sharded, d=sharded, P=sharded, p=sharded,
         J=rep, iters=rep, J_trace=rep, alpha_trace=rep, rho=rep,
-        max_defect=rep, converged=rep, last_feasible=rep,
+        max_defect=rep, converged=rep, last_feasible=rep, defect_trace=rep,
     )
 
     def solve(x0, u0, goal, weights: Optional[CostWeights] = None,
@@ -558,7 +587,7 @@ def make_batched_sp_solver(
         x=b_sharded, u=b_sharded, K=b_sharded, d=b_sharded, P=b_sharded,
         p=b_sharded, J=b_only, iters=b_only, J_trace=b_only,
         alpha_trace=b_only, rho=b_only, max_defect=b_only,
-        converged=b_only, last_feasible=b_only,
+        converged=b_only, last_feasible=b_only, defect_trace=b_only,
     )
 
     def solve_batch(x0s, u0s, goals, weights: Optional[CostWeights] = None,

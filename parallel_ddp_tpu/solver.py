@@ -55,6 +55,7 @@ class _Carry(NamedTuple):
     feasible: Any
     J_trace: Any
     alpha_trace: Any
+    defect_trace: Any
     max_defect: Any
 
 
@@ -119,13 +120,24 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
     else:
         step_jac = make_step_jacobian(plant, cfg.integrator, cfg.dt)
     # fused single-kernel forward simulation (forwardSimKern twin) when the
-    # plant ships one and the shape fits; None keeps the XLA scan path
+    # plant ships one and the shape fits; None keeps the XLA scan path.
+    # bf16_rollout takes precedence: the Pallas kernel is fp32.
     fused_sim = None
-    if plant.fused_rollout is not None and not cfg.slq and cfg.m_blocks_f > 0:
+    if (plant.fused_rollout is not None and not cfg.slq
+            and cfg.m_blocks_f > 0 and not cfg.bf16_rollout):
         fused_sim = plant.fused_rollout(
             cfg.integrator, cfg.dt, cfg.num_time_steps, cfg.m_blocks_f,
             cfg.num_alpha,
         )
+    # reduced-precision forward stages (config.py bf16_* knobs): bf16 compute
+    # with fp32 hand-back; the enclosing "highest" context still governs the
+    # derivative stage and the Riccati recursion
+    step_fn_fwd = step_fn
+    if cfg.bf16_rollout:
+        def step_fn_fwd(x, u, _f=step_fn):
+            with jax.default_matmul_precision("default"):
+                xn = _f(x.astype(jnp.bfloat16), u.astype(jnp.bfloat16))
+            return xn.astype(jnp.float32)
     alphas = cfg.alphas()
 
     def solve(
@@ -162,6 +174,13 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
         u0 = jnp.asarray(u0, dtype)
 
         stage = lambda xk, uk, k: cost.stage(xk, uk, k, goal, w)
+        if cfg.bf16_cost:
+            # bf16 stage evaluation, fp32 accumulation: the wrapper returns
+            # fp32 so every jnp.sum over stages accumulates at full precision
+            def stage(xk, uk, k, _s=stage):
+                with jax.default_matmul_precision("default"):
+                    v = _s(xk.astype(jnp.bfloat16), uk.astype(jnp.bfloat16), k)
+                return v.astype(jnp.float32)
 
         # live iteration budget (lcmt_solver_params iterLimit applied per-solve
         # without recompiling, LCMHelpers.cuh:213; cfg.max_iter stays the static
@@ -182,7 +201,10 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
         p_init = p0 if p0 is not None else jnp.zeros((N, n), dtype)
 
         AB, H, g = _derivatives(cfg, step_jac, cost.quad, x_init, u0, goal, w)
-        J0 = _total_cost(cfg, cost.stage, x_init, u0, goal, w)
+        # J0 through the same (possibly bf16-wrapped) stage the line search
+        # uses, so J comparisons across iterations are apples-to-apples
+        ks0 = jnp.arange(N)
+        J0 = jnp.sum(jax.vmap(stage)(x_init, u0, ks0))
         # epsilon bump so a zero first update does not instantly "converge"
         # (initAlgGPU, nisInitHelpers.cuh:392-395)
         prevJ = J0 + 2.0 * cfg.tol_cost
@@ -192,6 +214,10 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
             jnp.full((cfg.max_iter + 1,), -2, jnp.int32)
             .at[0]
             .set(0 if initial_rollout else -1)
+        )
+        d0_metric = jnp.max(jnp.sum(jnp.abs(d_init), axis=-1))
+        defect_trace = (
+            jnp.full((cfg.max_iter + 1,), jnp.nan, dtype).at[0].set(d0_metric)
         )
 
         carry0 = _Carry(
@@ -219,6 +245,7 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
             feasible=jnp.asarray(True),
             J_trace=J_trace,
             alpha_trace=alpha_trace,
+            defect_trace=defect_trace,
             max_defect=jnp.asarray(0.0, dtype),
         )
 
@@ -231,7 +258,7 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
 
             # FORWARD PASS ------------------------------------------------------
             ro = forward_pass(
-                cfg, step_fn, stage, c.x, c.u, c.d, bp.K, bp.du,
+                cfg, step_fn_fwd, stage, c.x, c.u, c.d, bp.K, bp.du,
                 bp.ApBK, bp.Bdu, c.xp, alphas, fused_sim=fused_sim,
             )
             ls = line_search(
@@ -260,6 +287,8 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
             alpha_trace = c.alpha_trace.at[c.it].set(
                 jnp.where(accept, ls.alpha_idx, -1).astype(jnp.int32)
             )
+            d_metric = jnp.max(jnp.sum(jnp.abs(d_new), axis=-1))
+            defect_trace = c.defect_trace.at[c.it].set(d_metric)
 
             # "converged": an accepted step improved by less than tol, OR a
             # rejected step where even the best candidate had nothing to gain —
@@ -313,6 +342,7 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
                 feasible=ls.any_feasible,
                 J_trace=J_trace,
                 alpha_trace=alpha_trace,
+                defect_trace=defect_trace,
                 max_defect=jnp.where(accept, ls.max_defect, c.max_defect),
             )
 
@@ -333,6 +363,7 @@ def make_ilqr_solver(plant: Plant, cost: CostModel, cfg: SolverConfig):
             max_defect=final.max_defect,
             converged=final.converged,
             last_feasible=final.feasible,
+            defect_trace=final.defect_trace,
         )
 
     return jax.jit(solve, static_argnames=("initial_rollout", "ignore_first_defect"))
