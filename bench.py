@@ -52,7 +52,8 @@ _LATENCY = """
 import sys, json
 sys.path.insert(0, {root!r})
 from benchmarks.latency import latency_result
-print("@@RESULT@@" + json.dumps(latency_result(core={core!r})))
+print("@@RESULT@@" + json.dumps(latency_result(core={core!r},
+                                               pallas_riccati={priccati})))
 """
 
 _BATCHED = """
@@ -60,7 +61,7 @@ import sys, json
 sys.path.insert(0, {root!r})
 from benchmarks.scaling import batched_result
 print("@@RESULT@@" + json.dumps(batched_result(batches=(256,), iters=6, reps=6,
-                                               core={core!r})))
+                                               core={core!r}, bf16={bf16})))
 """
 
 _TIMEDYN = """
@@ -116,7 +117,8 @@ def run_stage(name: str, code: str, timeout_s: float, **fmt):
 def main():
     stages_env = os.environ.get(
         "PDDP_BENCH_STAGES",
-        "latency,latency_pallas,batched,batched_pallas,rbd,fig8,convergence",
+        "latency,latency_pallas,latency_priccati,batched,batched_pallas,"
+        "batched_bf16,rbd,fig8,convergence",
     )
     want = {s.strip() for s in stages_env.split(",")}
     extra = {}
@@ -160,7 +162,7 @@ def main():
         time.sleep(5)
 
     if "latency" in want:
-        r = stage("latency", _LATENCY, 900, core="auto")
+        r = stage("latency", _LATENCY, 900, core="auto", priccati=False)
         if r:
             value = r["solves_per_s"]
             extra["latency_xla_solves_per_s"] = r["solves_per_s"]
@@ -171,7 +173,8 @@ def main():
         # same solve with the fused Pallas forward-sim + derivative kernels
         # (kuka core='pallas'; ops/pallas_rollout.py) — recorded next to the
         # XLA number; the headline takes the best production path that RAN
-        r = stage("latency_pallas", _LATENCY, 900, core="pallas")
+        r = stage("latency_pallas", _LATENCY, 900, core="pallas",
+                  priccati=False)
         if r:
             extra["latency_pallas_solves_per_s"] = r["solves_per_s"]
             extra["latency_pallas_per_solve_ms"] = r["per_solve_ms"]
@@ -180,8 +183,23 @@ def main():
                 extra["latency_per_solve_ms"] = r["per_solve_ms"]
                 extra["latency_headline_path"] = "pallas"
 
+    if "latency_priccati" in want:
+        # fully-fused config: Pallas forward sim + derivatives + the fused
+        # block-Riccati backward sweep (ops/pallas_riccati.py) — records
+        # whether fusing the backward pass beats the scan_unroll-tuned XLA
+        # sweep (VERDICT r2 item 9)
+        r = stage("latency_priccati", _LATENCY, 900, core="pallas",
+                  priccati=True)
+        if r:
+            extra["latency_priccati_solves_per_s"] = r["solves_per_s"]
+            extra["latency_priccati_per_solve_ms"] = r["per_solve_ms"]
+            if value is None or value < r["solves_per_s"]:
+                value = r["solves_per_s"]
+                extra["latency_per_solve_ms"] = r["per_solve_ms"]
+                extra["latency_headline_path"] = "pallas+riccati"
+
     if "batched" in want:
-        r = stage("batched", _BATCHED, 1800, core="auto")
+        r = stage("batched", _BATCHED, 1800, core="auto", bf16=False)
         if r:
             extra["batched_solves_per_s_per_chip"] = r["value"]
             extra["batched_vs_baseline"] = r["vs_baseline"]
@@ -195,6 +213,15 @@ def main():
         if r:
             extra["batched_pallas_solves_per_s_per_chip"] = r["value"]
             extra["batched_pallas_detail"] = r["extra"]
+
+    if "batched_bf16" in want:
+        # reduced-precision throughput study (VERDICT r2 item 8): bf16
+        # rollout+cost with fp32 accumulation, Riccati pinned fp32
+        # (config.cuh:72-75 done right; tests/test_bf16.py is the oracle gate)
+        r = stage("batched_bf16", _BATCHED, 1800, core="auto", bf16=True)
+        if r:
+            extra["batched_bf16_solves_per_s_per_chip"] = r["value"]
+            extra["batched_bf16_detail"] = r["extra"]
 
     if "rbd" in want:
         r = stage("rbd", _TIMEDYN, 900)

@@ -21,9 +21,12 @@ N_ITERS_PER_SOLVE = 6
 REPS = 20
 
 
-def latency_result(reps: int = REPS, core: str = "auto"):
+def latency_result(reps: int = REPS, core: str = "auto",
+                   pallas_riccati: bool = False):
     """core='pallas' routes the derivative stage AND the forward sim through
-    the fused Pallas kernels (ops/pallas_rbd.py, ops/pallas_rollout.py)."""
+    the fused Pallas kernels (ops/pallas_rbd.py, ops/pallas_rollout.py);
+    pallas_riccati=True additionally fuses the whole backward sweep into one
+    kernel per rho attempt (ops/pallas_riccati.py, the backPassKern twin)."""
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +36,8 @@ def latency_result(reps: int = REPS, core: str = "auto"):
     prob = kuka_ee(core=core)
     # fixed iteration count (tol_cost=0 disables the early exit so every solve
     # does the same work, like a time-budgeted MPC solve at steady state)
-    cfg = dataclasses.replace(prob.cfg, max_iter=N_ITERS_PER_SOLVE, tol_cost=0.0)
+    cfg = dataclasses.replace(prob.cfg, max_iter=N_ITERS_PER_SOLVE, tol_cost=0.0,
+                              pallas_riccati=pallas_riccati)
     solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
 
     rng = np.random.default_rng(0)
@@ -79,4 +83,5 @@ def latency_result(reps: int = REPS, core: str = "auto"):
 
 if __name__ == "__main__":
     core = sys.argv[1] if len(sys.argv) > 1 else "auto"
-    print(json.dumps(latency_result(core=core)))
+    pric = len(sys.argv) > 2 and sys.argv[2] == "riccati"
+    print(json.dumps(latency_result(core=core, pallas_riccati=pric)))

@@ -344,25 +344,40 @@ def backward_pass(
         d_blk = d.reshape(Mb, Nb, n)
         k_blk = jnp.arange(N).reshape(Mb, Nb)
 
-        def attempt(rho):
-            outs = jax.vmap(
-                lambda sP, sp_, ab, Hb, gb, db, kb: run_block(
-                    step, rho, sP, sp_, ab, Hb, gb, db, kb,
-                    unroll=cfg.scan_unroll,
-                )
-            )(seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk)
-            P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o = outs
-            flat = lambda a: a.reshape((N,) + a.shape[2:])
-            return (
-                flat(P_o),
-                flat(p_o),
-                flat(K_o),
-                flat(du_o),
-                flat(ApBK_o),
-                flat(Bdu_o),
-                jnp.sum(dj_o, axis=(0, 1)),
-                jnp.any(fail_o),
+        pallas_bp = None
+        if cfg.pallas_riccati:
+            # fused single-kernel sweep (backPassKern twin, ops/pallas_riccati.py);
+            # None (shape past the lane/VMEM budget) keeps the XLA scan path
+            from parallel_ddp_tpu.ops.pallas_riccati import (
+                make_riccati_block_call,
             )
+            pallas_bp = make_riccati_block_call(cfg, n, m)
+
+        if pallas_bp is not None:
+            def attempt(rho):
+                return pallas_bp(
+                    rho, seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk
+                )
+        else:
+            def attempt(rho):
+                outs = jax.vmap(
+                    lambda sP, sp_, ab, Hb, gb, db, kb: run_block(
+                        step, rho, sP, sp_, ab, Hb, gb, db, kb,
+                        unroll=cfg.scan_unroll,
+                    )
+                )(seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk)
+                P_o, p_o, K_o, du_o, ApBK_o, Bdu_o, dj_o, fail_o = outs
+                flat = lambda a: a.reshape((N,) + a.shape[2:])
+                return (
+                    flat(P_o),
+                    flat(p_o),
+                    flat(K_o),
+                    flat(du_o),
+                    flat(ApBK_o),
+                    flat(Bdu_o),
+                    jnp.sum(dj_o, axis=(0, 1)),
+                    jnp.any(fail_o),
+                )
 
     # rho-retry loop (backwardPassGPU, bpHelpers.cuh:489-515) with a safety cap
     def retry_cond(state):

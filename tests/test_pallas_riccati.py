@@ -1,0 +1,113 @@
+"""Fused Pallas block-Riccati sweep vs the XLA scan path.
+
+The kernel (ops/pallas_riccati.py) must produce the SAME backward-pass
+results as the vmapped lax.scan block sweep (parallel/backward.py run_block)
+— same recursion (bpHelpers.cuh:37-334), same Tassa STATE_REG asymmetry, same
+defect coupling, terminal pass-through and PD test; only the matmul
+accumulation order differs (sequential tile FMAs vs XLA dots), so allclose
+not bitwise.  Run in interpret mode on CPU."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from parallel_ddp_tpu.config import SolverConfig
+from parallel_ddp_tpu.parallel.backward import backward_pass
+from parallel_ddp_tpu.presets import pendulum_swingup
+from parallel_ddp_tpu.solver import make_ilqr_solver
+
+
+def _synthetic(cfg, n, m, seed=0):
+    rng = np.random.default_rng(seed)
+    N = cfg.num_time_steps
+    nm = n + m
+    f32 = np.float32
+    AB = rng.normal(0, 0.3, (N - 1, n, nm)).astype(f32)
+    C = rng.normal(0, 0.3, (N, nm, nm)).astype(f32)
+    H = np.einsum("kij,klj->kil", C, C) + np.eye(nm, dtype=f32)
+    g = rng.normal(0, 0.5, (N, nm)).astype(f32)
+    Cp = rng.normal(0, 0.3, (N, n, n)).astype(f32)
+    Pp = np.einsum("kij,klj->kil", Cp, Cp) + np.eye(n, dtype=f32)
+    pp = rng.normal(0, 0.5, (N, n)).astype(f32)
+    d = rng.normal(0, 0.1, (N, n)).astype(f32)
+    x = rng.normal(0, 0.5, (N, n)).astype(f32)
+    xp2 = x + rng.normal(0, 0.05, (N, n)).astype(f32)
+    return tuple(jnp.asarray(a) for a in (AB, H, g, Pp, pp, d, x, xp2))
+
+
+@pytest.mark.parametrize("state_reg", [True, False])
+@pytest.mark.parametrize("m_blocks_f", [1, 2])
+def test_pallas_backward_matches_xla(state_reg, m_blocks_f):
+    cfg = SolverConfig(num_time_steps=16, total_time=0.5, m_blocks_b=4,
+                       m_blocks_f=m_blocks_f, num_alpha=4,
+                       state_reg=state_reg)
+    n, m = 3, 2
+    args = _synthetic(cfg, n, m)
+    rho0 = jnp.asarray(1.0, jnp.float32)
+    drho0 = jnp.asarray(1.0, jnp.float32)
+
+    ref = backward_pass(cfg, *args, rho0, drho0)
+    cfg_p = dataclasses.replace(cfg, pallas_riccati=True)
+    out = backward_pass(cfg_p, *args, rho0, drho0)
+
+    assert not bool(ref.fail) and not bool(out.fail)
+    for name in ("P", "p", "K", "du", "ApBK", "Bdu", "dJexp"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(out, name))
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_pallas_riccati_solver_equivalence():
+    """Full pendulum solve with the fused sweep matches the XLA path: same
+    accept/reject decisions, same trajectory within float-reassociation noise."""
+    prob = pendulum_swingup(num_time_steps=32, total_time=1.5,
+                            m_blocks=2, num_alpha=8)
+    cfg = dataclasses.replace(prob.cfg, max_iter=12)
+    goal = jnp.asarray([np.pi, 0.0])
+    x0 = jnp.zeros((32, 2))
+    u0 = jnp.zeros((32, 1))
+
+    ref = make_ilqr_solver(prob.plant, prob.cost, cfg)(
+        x0, u0, goal, initial_rollout=True)
+    out = make_ilqr_solver(
+        prob.plant, prob.cost,
+        dataclasses.replace(cfg, pallas_riccati=True),
+    )(x0, u0, goal, initial_rollout=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(out.alpha_trace), np.asarray(ref.alpha_trace))
+    np.testing.assert_allclose(
+        float(out.J), float(ref.J), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.x), np.asarray(ref.x), rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_riccati_sp_sharded_equivalence():
+    """The fused sweep inside the 'sp' horizon-sharded solver (chunk-local
+    TRACED step indices flowing into the kernel's masks) matches the
+    single-device XLA solve on the 4-way CPU mesh."""
+    from parallel_ddp_tpu.parallel.sharding import make_mesh
+    from parallel_ddp_tpu.parallel.sp import make_sp_solver
+
+    prob = pendulum_swingup(num_time_steps=64, m_blocks=8, num_alpha=8)
+    cfg = dataclasses.replace(prob.cfg, max_iter=8)
+    goal = jnp.asarray([np.pi, 0.0], jnp.float32)
+    x0 = jnp.zeros((64, 2), jnp.float32)
+    u0 = jnp.zeros((64, 1), jnp.float32)
+
+    ref = make_ilqr_solver(prob.plant, prob.cost, cfg)(
+        x0, u0, goal, initial_rollout=True)
+    mesh = make_mesh(4, axis_names=("sp",))
+    out = make_sp_solver(
+        prob.plant, prob.cost,
+        dataclasses.replace(cfg, pallas_riccati=True), mesh,
+    )(x0, u0, goal, initial_rollout=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(out.alpha_trace), np.asarray(ref.alpha_trace))
+    np.testing.assert_allclose(float(out.J), float(ref.J), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.x), np.asarray(ref.x), rtol=1e-3, atol=1e-4)
