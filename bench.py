@@ -209,7 +209,7 @@ def main():
         # same metric through the fused Pallas RBD derivative stage
         # (kuka core='pallas'); recorded next to the XLA-core number so the
         # artifact states which production path wins (VERDICT r1 weak #6)
-        r = stage("batched_pallas", _BATCHED, 1800, core="pallas")
+        r = stage("batched_pallas", _BATCHED, 1800, core="pallas", bf16=False)
         if r:
             extra["batched_pallas_solves_per_s_per_chip"] = r["value"]
             extra["batched_pallas_detail"] = r["extra"]

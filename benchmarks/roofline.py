@@ -109,6 +109,37 @@ def _measure(fn, args, reps=10):
     return rtt_corrected_median_s(fn, args, reps=reps)
 
 
+def _trace_validation(kernels_est: int) -> dict:
+    """The 'validated against trace' row (VERDICT r2 item 7): compare the
+    static ENTRY-instruction dispatch floor against the per-solve device
+    event count measured by benchmarks/profile_trace.py on a real chip
+    (archived at benchmarks/artifacts/profile_trace_*.json)."""
+    import glob
+    import os
+
+    arts = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "artifacts", "profile_trace_*.json")))
+    if not arts:
+        return {}
+    with open(arts[-1]) as f:
+        t = json.load(f)
+    if "dispatches_per_solve" not in t:
+        return {}
+    return {
+        "trace_validation": {
+            "artifact": os.path.basename(arts[-1]),
+            "backend": t.get("backend"),
+            "measured_dispatches_per_solve": t["dispatches_per_solve"],
+            "static_floor_kernels": kernels_est,
+            "floor_coverage": (round(kernels_est /
+                                     t["dispatches_per_solve"], 3)
+                               if t["dispatches_per_solve"] else None),
+            "measured_device_busy_us_per_solve": t.get("busy_us_per_solve"),
+        }
+    }
+
+
 def main(stages):
     import jax
     import jax.numpy as jnp
@@ -134,7 +165,9 @@ def main(stages):
         meas = (_measure(lambda a, b: solver(a, b, goal, None,
                                              initial_rollout=True), (x0, u0))
                 if on_tpu else None)
-        results.append(analyze("kuka_ee_n64_6iter_solve", low, chip, meas))
+        r = analyze("kuka_ee_n64_6iter_solve", low, chip, meas)
+        r.update(_trace_validation(r["kernels_est"]))
+        results.append(r)
 
     if "batched" in stages:
         from jax.sharding import Mesh

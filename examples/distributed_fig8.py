@@ -17,6 +17,7 @@ benchmarks/fig8.py --device-loop for the fused on-device variant).
 """
 
 import argparse
+import json
 import sys
 import threading
 import time
@@ -36,6 +37,13 @@ def main():
     ap.add_argument("--wire", default="native", choices=["native", "lcm"],
                     help="bus framing: native, or real LCM udpm datagrams "
                          "(interop with lcm-spy/Drake peers)")
+    ap.add_argument("--core", default="auto",
+                    choices=["auto", "soa", "rbd", "pallas"],
+                    help="Kuka dynamics core for the solver node "
+                         "(models/kuka/model.py)")
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="archive run metrics (solver Hz, runner Hz, command "
+                         "jitter, tracking error) as a JSON artifact")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +59,7 @@ def main():
     )
     from parallel_ddp_tpu.runtime.pubsub import Channels, PubSub
 
-    prob = kuka_ee(mpc_mode=True)
+    prob = kuka_ee(mpc_mode=True, core=args.core)
     ctrl = MPCController(prob.plant, prob.cost, prob.cfg,
                          MPCConfig(max_iters_per_solve=args.iters))
 
@@ -126,6 +134,46 @@ def main():
     if errors:
         print(f"avg EE tracking error: {np.mean(errors):.4f} m "
               f"(reference baseline 0.0878 m)")
+
+    # archive the online-stack health metrics (the numbers the reference
+    # reads off lcm-spy + the WAFR_fig8.py:5-12 archive discipline)
+    wall = time.perf_counter() - t0
+    trace = node_solver.solve_trace
+    stamps = np.asarray(node_runner.command_stamps)
+    gaps_ms = np.diff(stamps) * 1e3 if stamps.size > 1 else np.array([])
+    solve_ms = np.asarray([s[1] for s in trace]) if trace else np.array([])
+    report = {
+        "metric": "distributed_fig8_stack",
+        "backend": __import__("jax").default_backend(),
+        "wire": args.wire,
+        "duration_s": round(wall, 2),
+        "solver": {
+            "solves": node_solver.solve_count,
+            "fails": node_solver.fail_count,
+            "hz": round(len(trace) / wall, 1) if trace else 0.0,
+            "solve_ms_median": (round(float(np.median(solve_ms)), 2)
+                                if solve_ms.size else None),
+            "solve_ms_max": (round(float(solve_ms.max()), 2)
+                             if solve_ms.size else None),
+        },
+        "runner": {
+            "commands": node_runner.command_count,
+            "overruns": node_runner.overrun_count,
+            "hz": (round(stamps.size / wall, 1) if stamps.size else 0.0),
+            "jitter_ms_std": (round(float(gaps_ms.std()), 3)
+                              if gaps_ms.size else None),
+            "gap_ms_p99": (round(float(np.percentile(gaps_ms, 99)), 2)
+                           if gaps_ms.size else None),
+        },
+        "avg_ee_tracking_error_m": (round(float(np.mean(errors)), 4)
+                                    if errors else None),
+        "vs_baseline_0.0878m": (round(float(np.mean(errors)) / 0.0878, 3)
+                                if errors else None),
+    }
+    print(json.dumps(report))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
 
 
 if __name__ == "__main__":

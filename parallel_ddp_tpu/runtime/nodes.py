@@ -81,6 +81,10 @@ class MPCLoopNode:
         self.state: Optional[MPCState] = None
         self.solve_count = 0
         self.fail_count = 0
+        # per-solve (wall-clock stamp, solve ms, iters) — the reference's
+        # algTrace equivalent for the online stack (MPCHelpers.cuh:51-56);
+        # distributed_fig8 archives solver Hz / per-solve ms from these
+        self.solve_trace: list = []
         # live solver params (lcmt_solver_params, applied per-solve without
         # recompile: iterLimit/timeLimit as a traced iteration cap,
         # useCostShift through the goal pytree — LCMHelpers.cuh:204-214,213).
@@ -173,9 +177,9 @@ class MPCLoopNode:
             # the iteration count FIRST — it forces the device sync, so the
             # wall measurement covers true solve completion, not async dispatch
             iters_done = int(info.iters)
-            self.ctrl.calibrate_timing(
-                (time.perf_counter() - t_solve0) * 1e3, iters_done
-            )
+            solve_ms = (time.perf_counter() - t_solve0) * 1e3
+            self.ctrl.calibrate_timing(solve_ms, iters_done)
+            self.solve_trace.append((time.perf_counter(), solve_ms, iters_done))
             self.solve_count += 1
             if not bool(info.ok):
                 self.fail_count += 1
@@ -206,6 +210,10 @@ class TrajRunnerNode:
         self.use_feedback = use_feedback
         self.command_count = 0
         self.overrun_count = 0
+        # wall-clock stamp per published command: runner Hz + inter-command
+        # jitter come from the diffs (the kHz-loop health metric the reference
+        # reads off lcm-spy, LCMHelpers.cuh:286-416)
+        self.command_stamps: list = []
         bus.subscribe(Channels.STATUS)
         bus.subscribe(Channels.TRAJ)
 
@@ -231,6 +239,7 @@ class TrajRunnerNode:
                                  self.bus.wire),
                 )
                 self.command_count += 1
+                self.command_stamps.append(time.perf_counter())
             elif rc == 1:
                 self.overrun_count += 1  # fail loudly: past trajectory end
 

@@ -177,6 +177,13 @@ def test_distributed_stack_pendulum():
     assert node_runner.command_count > 10, "runner never produced commands"
     xf = node_sim.x
     assert abs(float(xf[0]) - np.pi) < 0.35, f"pendulum drifted: {xf}"
+    # online-stack health trace (what distributed_fig8 --json archives):
+    # one (stamp, solve_ms, iters) entry per solve, one stamp per command
+    assert len(node_solver.solve_trace) == node_solver.solve_count
+    assert all(ms > 0 and it >= 0 for _, ms, it in node_solver.solve_trace)
+    assert len(node_runner.command_stamps) == node_runner.command_count
+    stamps = np.asarray(node_runner.command_stamps)
+    assert (np.diff(stamps) >= 0).all(), "command stamps must be monotone"
 
 
 def test_traj_playback_node():
