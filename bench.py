@@ -61,7 +61,8 @@ import sys, json
 sys.path.insert(0, {root!r})
 from benchmarks.scaling import batched_result
 print("@@RESULT@@" + json.dumps(batched_result(batches=(256,), iters=6, reps=6,
-                                               core={core!r}, bf16={bf16})))
+                                               core={core!r}, bf16={bf16},
+                                               pallas_riccati={priccati})))
 """
 
 _TIMEDYN = """
@@ -79,7 +80,9 @@ _FIG8 = """
 import sys, json
 sys.path.insert(0, {root!r})
 from benchmarks.fig8 import device_loop_result
-print("@@RESULT@@" + json.dumps(device_loop_result(duration=10.0, reps=1, iters=6)))
+print("@@RESULT@@" + json.dumps(device_loop_result(duration=10.0, reps=1, iters=6,
+                                                   core={core!r},
+                                                   pallas_riccati={priccati})))
 """
 
 _CONVERGENCE = """
@@ -118,7 +121,7 @@ def main():
     stages_env = os.environ.get(
         "PDDP_BENCH_STAGES",
         "latency,latency_pallas,latency_priccati,batched,batched_pallas,"
-        "batched_bf16,rbd,fig8,convergence",
+        "batched_priccati,batched_bf16,rbd,fig8,fig8_priccati,convergence",
     )
     want = {s.strip() for s in stages_env.split(",")}
     extra = {}
@@ -198,30 +201,52 @@ def main():
                 extra["latency_per_solve_ms"] = r["per_solve_ms"]
                 extra["latency_headline_path"] = "pallas+riccati"
 
+    batched_best = None
     if "batched" in want:
-        r = stage("batched", _BATCHED, 1800, core="auto", bf16=False)
+        r = stage("batched", _BATCHED, 1800, core="auto", bf16=False,
+                  priccati=False)
         if r:
             extra["batched_solves_per_s_per_chip"] = r["value"]
             extra["batched_vs_baseline"] = r["vs_baseline"]
             extra["batched_detail"] = r["extra"]
+            batched_best = ("xla", r["value"])
 
     if "batched_pallas" in want:
         # same metric through the fused Pallas RBD derivative stage
         # (kuka core='pallas'); recorded next to the XLA-core number so the
         # artifact states which production path wins (VERDICT r1 weak #6)
-        r = stage("batched_pallas", _BATCHED, 1800, core="pallas", bf16=False)
+        r = stage("batched_pallas", _BATCHED, 1800, core="pallas", bf16=False,
+                  priccati=False)
         if r:
             extra["batched_pallas_solves_per_s_per_chip"] = r["value"]
             extra["batched_pallas_detail"] = r["extra"]
+            if batched_best is None or batched_best[1] < r["value"]:
+                batched_best = ("pallas", r["value"])
+
+    if "batched_priccati" in want:
+        # fully-fused config under scenario-vmap: does the fused block-Riccati
+        # kernel still win when XLA already has B=256 lane-filling batch work?
+        r = stage("batched_priccati", _BATCHED, 1800, core="pallas",
+                  bf16=False, priccati=True)
+        if r:
+            extra["batched_priccati_solves_per_s_per_chip"] = r["value"]
+            extra["batched_priccati_detail"] = r["extra"]
+            if batched_best is None or batched_best[1] < r["value"]:
+                batched_best = ("pallas+riccati", r["value"])
 
     if "batched_bf16" in want:
         # reduced-precision throughput study (VERDICT r2 item 8): bf16
         # rollout+cost with fp32 accumulation, Riccati pinned fp32
         # (config.cuh:72-75 done right; tests/test_bf16.py is the oracle gate)
-        r = stage("batched_bf16", _BATCHED, 1800, core="auto", bf16=True)
+        r = stage("batched_bf16", _BATCHED, 1800, core="auto", bf16=True,
+                  priccati=False)
         if r:
             extra["batched_bf16_solves_per_s_per_chip"] = r["value"]
             extra["batched_bf16_detail"] = r["extra"]
+            if batched_best is None or batched_best[1] < r["value"]:
+                batched_best = ("bf16", r["value"])
+    if batched_best is not None:
+        extra["batched_headline_path"] = batched_best[0]
 
     if "rbd" in want:
         r = stage("rbd", _TIMEDYN, 900)
@@ -230,12 +255,22 @@ def main():
             extra["rbd_detail"] = r["extra"]
 
     if "fig8" in want:
-        r = stage("fig8", _FIG8, 1800)
+        r = stage("fig8", _FIG8, 1800, core="auto", priccati=False)
         if r:
             extra["fig8_avg_ee_tracking_error_m"] = r["value"]
             extra["fig8_vs_baseline_0.0878m"] = r["vs_baseline"]
             extra["fig8_ok_rate"] = r["extra"]["ok_rate"]
             extra["fig8_per_control_step_ms"] = r["extra"]["per_control_step_ms"]
+
+    if "fig8_priccati" in want:
+        # same closed loop on the fully-fused solver path (tracking error must
+        # hold while the per-step solve cost drops)
+        r = stage("fig8_priccati", _FIG8, 1800, core="pallas", priccati=True)
+        if r:
+            extra["fig8_priccati_avg_ee_tracking_error_m"] = r["value"]
+            extra["fig8_priccati_ok_rate"] = r["extra"]["ok_rate"]
+            extra["fig8_priccati_per_control_step_ms"] = (
+                r["extra"]["per_control_step_ms"])
 
     if "convergence" in want:
         # BASELINE.json's third metric: iters to 1% of final cost (numerics

@@ -36,14 +36,20 @@ sys.path.insert(0, ".")
 
 
 def device_loop_result(duration=10.0, reps=1, control_period=0.01,
-                       sim_rate=1000.0, iters=6, settle_time=4.0):
+                       sim_rate=1000.0, iters=6, settle_time=4.0,
+                       core="auto", pallas_riccati=False):
     """Fused device-loop fig-8 tracking run -> bench dict (importable from
-    bench.py so the tracking-error metric lands in the driver artifact)."""
+    bench.py so the tracking-error metric lands in the driver artifact).
+
+    `core`/`pallas_riccati` pick the solver kernel path (same knobs as
+    benchmarks/latency.py) so the closed-loop number can ride whichever
+    production path the latency stages crowned."""
     import types
 
     args = types.SimpleNamespace(
         duration=duration, reps=reps, control_period=control_period,
         sim_rate=sim_rate, iters=iters, settle_time=settle_time,
+        core=core, pallas_riccati=pallas_riccati,
     )
     return _run_device_loop(args)
 
@@ -53,6 +59,8 @@ def run_device_loop(args):
 
 
 def _run_device_loop(args):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -60,9 +68,11 @@ def _run_device_loop(args):
     from parallel_ddp_tpu.mpc.driver import MPCConfig, MPCController
     from parallel_ddp_tpu.presets import fig8_weights, figure8_goal, kuka_ee
 
-    prob = kuka_ee(mpc_mode=True)
+    prob = kuka_ee(mpc_mode=True, core=getattr(args, "core", "auto"))
+    cfg = dataclasses.replace(
+        prob.cfg, pallas_riccati=getattr(args, "pallas_riccati", False))
     ctrl = MPCController(
-        prob.plant, prob.cost, prob.cfg, MPCConfig(max_iters_per_solve=args.iters)
+        prob.plant, prob.cost, cfg, MPCConfig(max_iters_per_solve=args.iters)
     )
     loop = make_device_mpc_loop(
         ctrl, sim_rate_hz=args.sim_rate, control_period_s=args.control_period,
@@ -151,6 +161,10 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--settle-time", type=float, default=4.0)
     ap.add_argument("--device-loop", action="store_true")
+    ap.add_argument("--core", default="auto",
+                    choices=["auto", "soa", "rbd", "pallas"])
+    ap.add_argument("--pallas-riccati", action="store_true",
+                    dest="pallas_riccati")
     ap.add_argument("--save-log", default=None, metavar="PATH.npz",
                     help="save the tracking-run series for examples/plot_fig8.py"
                          " (device-loop mode)")
@@ -169,9 +183,11 @@ def main():
     from parallel_ddp_tpu.mpc.controls import TrajHandoff, get_hardware_controls
     from parallel_ddp_tpu.presets import fig8_weights, figure8_goal, kuka_ee
 
-    prob = kuka_ee(mpc_mode=True)
+    prob = kuka_ee(mpc_mode=True, core=args.core)
+    import dataclasses as _dc
+    cfg = _dc.replace(prob.cfg, pallas_riccati=args.pallas_riccati)
     ctrl = MPCController(
-        prob.plant, prob.cost, prob.cfg, MPCConfig(max_iters_per_solve=args.iters)
+        prob.plant, prob.cost, cfg, MPCConfig(max_iters_per_solve=args.iters)
     )
     sim = PlantSimulator(prob.plant, rate_hz=args.sim_rate, integrator=1)
     ee_pos = jax.jit(prob.plant.ee_pos)

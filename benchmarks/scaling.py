@@ -22,7 +22,7 @@ sys.path.insert(0, ".")
 
 
 def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
-                   core="auto", bf16=False):
+                   core="auto", bf16=False, pallas_riccati=False):
     """Scenario-batched throughput -> bench dict (importable from bench.py so
     the BASELINE 'solves/s per chip' metric lands in the driver artifact).
 
@@ -37,7 +37,13 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
     `bf16` turns on the reduced-precision forward path (SolverConfig
     bf16_rollout + bf16_cost: bf16 compute / fp32 accumulation in the rollout
     and cost stages, Riccati pinned fp32) — the throughput study of
-    config.cuh:72-75 done right; tests/test_bf16.py is the oracle gate."""
+    config.cuh:72-75 done right; tests/test_bf16.py is the oracle gate.
+
+    `pallas_riccati` fuses the backward sweep into one Pallas kernel per rho
+    attempt (ops/pallas_riccati.py).  Under scenario-vmap the kernel gains a
+    leading batch grid dimension; whether the fused sweep still beats the
+    scan at B=256 (where XLA already has lane-filling batch work) is exactly
+    the empirical question the bench artifact should answer."""
     import dataclasses
 
     import jax
@@ -49,7 +55,8 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
 
     prob = kuka_ee(core=core)
     cfg = dataclasses.replace(prob.cfg, max_iter=iters, tol_cost=0.0,
-                              bf16_rollout=bf16, bf16_cost=bf16)
+                              bf16_rollout=bf16, bf16_cost=bf16,
+                              pallas_riccati=pallas_riccati)
     rng = np.random.default_rng(0)
     n = cfg.num_time_steps
     goal1 = ee_goal([0.0, -0.55, 0.35])
@@ -109,9 +116,10 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
         "metric": "kuka_n64_batched_solves_per_s_per_chip",
         "value": best,
         "unit": f"solves/s ({iters}-iter warm EE solve, batched scenarios, "
-                f"core={core}, bf16={bf16})",
+                f"core={core}, bf16={bf16}, priccati={pallas_riccati})",
         "vs_baseline": round(best / 97.0, 1),
-        "extra": {"core": core, "bf16": bf16, **results},
+        "extra": {"core": core, "bf16": bf16,
+                  "pallas_riccati": pallas_riccati, **results},
     }
 
 

@@ -21,7 +21,8 @@ sys.path.insert(0, ".")
 
 STAGES = [
     "latency", "latency_pallas", "latency_priccati",
-    "batched", "batched_pallas", "batched_bf16", "rbd", "fig8",
+    "batched", "batched_pallas", "batched_priccati", "batched_bf16",
+    "rbd", "fig8", "fig8_priccati",
 ]
 
 
@@ -40,16 +41,20 @@ def warm(stage: str):
         from benchmarks.scaling import batched_result
 
         batched_result(batches=(256,), iters=6, reps=1,
-                       core="pallas" if stage == "batched_pallas" else "auto",
-                       bf16=stage == "batched_bf16")
+                       core="pallas" if "pallas" in stage or "priccati" in stage
+                       else "auto",
+                       bf16=stage == "batched_bf16",
+                       pallas_riccati="priccati" in stage)
     elif stage == "rbd":
         from benchmarks.timedyn import microbench_result
 
         microbench_result(batch=4096, reps=1, scan=256)
-    elif stage == "fig8":
+    elif stage.startswith("fig8"):
         from benchmarks.fig8 import device_loop_result
 
-        device_loop_result(duration=0.2, reps=1, iters=6)
+        device_loop_result(duration=0.2, reps=1, iters=6,
+                           core="pallas" if "priccati" in stage else "auto",
+                           pallas_riccati="priccati" in stage)
     else:
         raise SystemExit(f"unknown stage {stage!r}")
     print(f"[warm] {stage}: ok in {time.perf_counter() - t0:.1f}s "

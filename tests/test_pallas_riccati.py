@@ -85,6 +85,34 @@ def test_pallas_riccati_solver_equivalence():
         np.asarray(out.x), np.asarray(ref.x), rtol=1e-3, atol=1e-4)
 
 
+def test_pallas_riccati_scenario_vmap_equivalence():
+    """Scenario-vmapped solves through the fused sweep (the batched-throughput
+    path, benchmarks/scaling.py pallas_riccati=True): jax.vmap adds a leading
+    batch grid dimension to the pallas_call; results must match per-sample
+    solves exactly (same program, batched dispatch)."""
+    import jax
+
+    prob = pendulum_swingup(num_time_steps=16, total_time=1.0,
+                            m_blocks=2, num_alpha=4)
+    cfg = dataclasses.replace(prob.cfg, max_iter=4, pallas_riccati=True)
+    solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
+    goal = jnp.asarray([np.pi, 0.0], jnp.float32)
+
+    rng = np.random.default_rng(3)
+    B = 3
+    x0 = jnp.asarray(rng.normal(0, 0.2, (B, 16, 2)).astype(np.float32))
+    u0 = jnp.asarray(rng.normal(0, 0.5, (B, 16, 1)).astype(np.float32))
+
+    out = jax.vmap(
+        lambda x, u: solver(x, u, goal, initial_rollout=True))(x0, u0)
+    for i in range(B):
+        ref = solver(x0[i], u0[i], goal, initial_rollout=True)
+        np.testing.assert_allclose(
+            float(out.J[i]), float(ref.J), rtol=1e-5, err_msg=f"J[{i}]")
+        np.testing.assert_allclose(
+            np.asarray(out.x[i]), np.asarray(ref.x), rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_riccati_sp_sharded_equivalence():
     """The fused sweep inside the 'sp' horizon-sharded solver (chunk-local
     TRACED step indices flowing into the kernel's masks) matches the
