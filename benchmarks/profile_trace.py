@@ -113,15 +113,17 @@ def parse_xspace(data: bytes):
 
 # ---------------- the measurement ----------------
 
-def profile_headline(solves: int = 8, iters: int = 6):
+def profile_headline(solves: int = 8, iters: int = 6, core: str = "auto",
+                     pallas_riccati: bool = False):
     import jax
     import jax.numpy as jnp
 
     from parallel_ddp_tpu.presets import ee_goal, kuka_ee
     from parallel_ddp_tpu.solver import make_ilqr_solver
 
-    prob = kuka_ee()
-    cfg = dataclasses.replace(prob.cfg, max_iter=iters, tol_cost=0.0)
+    prob = kuka_ee(core=core)
+    cfg = dataclasses.replace(prob.cfg, max_iter=iters, tol_cost=0.0,
+                              pallas_riccati=pallas_riccati)
     solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
     n = cfg.num_time_steps
     goal = ee_goal([0.0, -0.55, 0.35])
@@ -183,6 +185,8 @@ def profile_headline(solves: int = 8, iters: int = 6):
     device["dispatches_per_solve"] = round(device["n_events"] / solves, 1)
     device["busy_us_per_solve"] = round(device["busy_us"] / solves, 1)
     device["backend"] = jax.default_backend()
+    device["core"] = core
+    device["pallas_riccati"] = pallas_riccati
 
     # the roofline's static floor for the same program, for the delta row
     from benchmarks.roofline import CHIPS, _kernel_count
@@ -210,8 +214,13 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--out", default=None,
                     help="also write the result JSON to this path")
+    ap.add_argument("--core", default="auto",
+                    choices=["auto", "soa", "rbd", "pallas"])
+    ap.add_argument("--priccati", action="store_true",
+                    help="profile the fused Pallas block-Riccati path")
     args = ap.parse_args()
-    res = profile_headline(solves=args.solves, iters=args.iters)
+    res = profile_headline(solves=args.solves, iters=args.iters,
+                           core=args.core, pallas_riccati=args.priccati)
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
