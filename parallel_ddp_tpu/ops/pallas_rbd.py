@@ -78,12 +78,16 @@ def _build(ee_type: int, gravity: float, interpret: bool):
     cc = soa._consts(ee_type, gravity)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    # vmem_limit_bytes: headroom for the scenario-vmapped batch grid dim
+    # (see ops/pallas_rollout.py) — v5e has 128 MB physical VMEM
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     qdd_call = pl.pallas_call(
         functools.partial(_qdd_kernel, cc),
         out_shape=jax.ShapeDtypeStruct((N_JOINTS, _SUB, _LANE), jnp.float32),
         in_specs=[vspec, vspec],
         out_specs=vspec,
         interpret=interpret,
+        compiler_params=params,
     )
     jac_call = pl.pallas_call(
         functools.partial(_jac_kernel, cc),
@@ -96,6 +100,7 @@ def _build(ee_type: int, gravity: float, interpret: bool):
         in_specs=[vspec, vspec],
         out_specs=(vspec, vspec),
         interpret=interpret,
+        compiler_params=params,
     )
     return qdd_call, jac_call
 

@@ -284,6 +284,9 @@ def _build(n: int, m: int, nb: int, state_reg: bool, use_defect: bool,
             pltpu.VMEM((n, _SUB, _LANE), jnp.float32),
         ],
         interpret=interpret,
+        # headroom for the scenario-vmapped batch grid dimension (see
+        # ops/pallas_rollout.py) — v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
     )
 
 

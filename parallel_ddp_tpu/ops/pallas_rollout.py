@@ -119,6 +119,10 @@ def _build(ee_type: int, gravity: float, integrator: int, dt: float,
         in_specs=[vspec] * 4,
         out_specs=(vspec, vspec),
         interpret=interpret,
+        # scenario-vmap prepends a batch grid dimension whose double-buffered
+        # per-step slabs (~18 MB at B=256) exceed Mosaic's default 16 MB
+        # scoped-vmem cap; v5e has 128 MB physical VMEM — raise the ceiling
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
     )
 
 
