@@ -149,6 +149,13 @@ def _run_device_loop(args):
             "settle_final_err_m": round(float(np.asarray(res_settle.ee_err)[-1]), 4),
         },
     }
+    if getattr(args, "pallas_riccati", False):
+        # record whether the fused backward sweep actually engaged (vs the
+        # silent XLA-scan fallback) so the artifact labels are trustworthy
+        from parallel_ddp_tpu.ops.pallas_riccati import fused_riccati_active
+
+        result["extra"]["fused_riccati_active"] = fused_riccati_active(
+            cfg, 14, 7)
     return result
 
 

@@ -74,11 +74,18 @@ def latency_result(reps: int = REPS, core: str = "auto",
 
     med = float(np.median(times))
     per_solve = max(med - rtt, 1e-6)
-    return {
+    result = {
         "solves_per_s": round(1.0 / per_solve, 2),
         "per_solve_ms": round(per_solve * 1e3, 3),
         "rtt_ms": round(rtt * 1e3, 2),
     }
+    if pallas_riccati:
+        # record whether the fused backward sweep actually engaged at this
+        # shape, or make_riccati_block_call fell back to the XLA scan
+        from parallel_ddp_tpu.ops.pallas_riccati import fused_riccati_active
+
+        result["fused_riccati_active"] = fused_riccati_active(cfg, 14, 7)
+    return result
 
 
 if __name__ == "__main__":

@@ -112,14 +112,21 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
         print(f"B={b}: {results[b]}", file=sys.stderr, flush=True)
 
     best = max(v["solves_per_s"] for v in results.values())
+    extra = {"core": core, "bf16": bf16,
+             "pallas_riccati": pallas_riccati, **results}
+    if pallas_riccati:
+        # did the fused sweep actually engage, or did the shape gate fall
+        # back to the XLA scan? (artifact must not mislabel a fallback run)
+        from parallel_ddp_tpu.ops.pallas_riccati import fused_riccati_active
+
+        extra["fused_riccati_active"] = fused_riccati_active(cfg, 14, 7)
     return {
         "metric": "kuka_n64_batched_solves_per_s_per_chip",
         "value": best,
         "unit": f"solves/s ({iters}-iter warm EE solve, batched scenarios, "
                 f"core={core}, bf16={bf16}, priccati={pallas_riccati})",
         "vs_baseline": round(best / 97.0, 1),
-        "extra": {"core": core, "bf16": bf16,
-                  "pallas_riccati": pallas_riccati, **results},
+        "extra": extra,
     }
 
 

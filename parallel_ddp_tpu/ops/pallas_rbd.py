@@ -79,8 +79,10 @@ def _build(ee_type: int, gravity: float, interpret: bool):
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     # vmem_limit_bytes: headroom for the scenario-vmapped batch grid dim
-    # (see ops/pallas_rollout.py) — v5e has 128 MB physical VMEM
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+    # (see ops/pallas_rollout.py); generation-aware — ops/tpu_limits.py
+    from parallel_ddp_tpu.ops.tpu_limits import pallas_vmem_limit_bytes
+
+    params = pltpu.CompilerParams(vmem_limit_bytes=pallas_vmem_limit_bytes())
     qdd_call = pl.pallas_call(
         functools.partial(_qdd_kernel, cc),
         out_shape=jax.ShapeDtypeStruct((N_JOINTS, _SUB, _LANE), jnp.float32),

@@ -44,12 +44,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from parallel_ddp_tpu.ops import tpu_limits
+
 _SUB, _LANE = 8, 128
 _TILE = _SUB * _LANE
 
 # VMEM guard (bytes): per-step in/out slabs are double-buffered by the grid
 # pipeline; seeds + carry are resident.  Refuse shapes past ~13 MB so callers
-# keep the XLA scan path instead of failing at compile time.
+# keep the XLA scan path instead of failing at compile time.  This is
+# intentionally NOT the compiler ceiling below (tpu_limits.py): it is the
+# conservative SINGLE-INSTANCE working-set gate, sized so that a
+# scenario-vmapped caller (which multiplies the working set by its batch grid
+# pipelining) still fits under the raised ceiling.
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
@@ -285,8 +291,9 @@ def _build(n: int, m: int, nb: int, state_reg: bool, use_defect: bool,
         ],
         interpret=interpret,
         # headroom for the scenario-vmapped batch grid dimension (see
-        # ops/pallas_rollout.py) — v5e has 128 MB physical VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        # ops/pallas_rollout.py); generation-aware — ops/tpu_limits.py
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=tpu_limits.pallas_vmem_limit_bytes()),
     )
 
 
@@ -388,3 +395,12 @@ def make_riccati_block_call(cfg, n: int, m: int, mb: int | None = None,
         )
 
     return bp
+
+
+def fused_riccati_active(cfg, n: int, m: int, mb: int | None = None) -> bool:
+    """True when a `pallas_riccati=True` solve at this shape actually engages
+    the fused kernel; False means make_riccati_block_call fell back to the
+    XLA scan path (lane tile or _VMEM_BUDGET exceeded).  Benchmarks record
+    this next to 'pallas+riccati'-labelled numbers so the artifact cannot
+    silently mislabel a fallback run (ADVICE r3)."""
+    return make_riccati_block_call(cfg, n, m, mb=mb) is not None

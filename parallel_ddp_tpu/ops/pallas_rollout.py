@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from parallel_ddp_tpu.models.kuka import soa
+from parallel_ddp_tpu.ops import tpu_limits
 
 NJ = 7
 NS = 14
@@ -121,8 +122,9 @@ def _build(ee_type: int, gravity: float, integrator: int, dt: float,
         interpret=interpret,
         # scenario-vmap prepends a batch grid dimension whose double-buffered
         # per-step slabs (~18 MB at B=256) exceed Mosaic's default 16 MB
-        # scoped-vmem cap; v5e has 128 MB physical VMEM — raise the ceiling
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        # scoped-vmem cap — raise the ceiling (generation-aware, tpu_limits.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=tpu_limits.pallas_vmem_limit_bytes()),
     )
 
 

@@ -52,7 +52,11 @@ def warm(stage: str):
     elif stage.startswith("fig8"):
         from benchmarks.fig8 import device_loop_result
 
-        device_loop_result(duration=0.2, reps=1, iters=6,
+        # duration/settle must match bench.py's stage exactly: the track-phase
+        # program shape depends on n_track = duration/control_period, so a
+        # short warm run would populate the cache with the WRONG program
+        # (ADVICE r3 #4)
+        device_loop_result(duration=10.0, reps=1, iters=6,
                            core="pallas" if "priccati" in stage else "auto",
                            pallas_riccati="priccati" in stage)
     else:

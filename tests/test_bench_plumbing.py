@@ -1,0 +1,69 @@
+"""bench.py must ALWAYS emit its one JSON line — the rounds 2/3 lesson.
+
+The driver gives `python bench.py` an unknown kill deadline; rounds 2 and 3
+both produced a null/absent artifact because stage hangs (dead tunnel compile
+helper) stacked past it.  These tests pin the plumbing invariants that make
+that impossible again:
+
+  * under a tiny PDDP_BENCH_BUDGET the process still prints a well-formed
+    final JSON line (with value=null and the skip bookkeeping) and exits 0
+    well inside the budget's order of magnitude;
+  * the generation-aware VMEM ceiling and the fused-Riccati "did it actually
+    engage" probe (ADVICE r3) behave on the CPU/interpret backend.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+
+def test_bench_emits_json_under_tiny_budget():
+    # No stages requested, 1-second budget: preflight runs (and fails on the
+    # CPU backend by design), every stage is skipped, and the final line must
+    # still be valid JSON with the headline keys.
+    env = dict(os.environ)
+    env["PDDP_BENCH_STAGES"] = ""
+    env["PDDP_BENCH_BUDGET"] = "1"
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(ROOT),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert lines, "bench.py printed nothing"
+    out = json.loads(lines[-1])
+    assert out["metric"] == "kuka_n64_mpc_solves_per_s"
+    assert set(out) >= {"metric", "value", "unit", "vs_baseline", "extra"}
+    # CPU backend -> preflight refuses -> no device value, provenance attached
+    assert out["value"] is None
+    assert "last_measured_on_chip" in out["extra"]
+
+
+def test_vmem_limit_is_generation_aware():
+    from parallel_ddp_tpu.ops.tpu_limits import pallas_vmem_limit_bytes
+
+    lim = pallas_vmem_limit_bytes()
+    # on the test CPU backend the fallback is the 128 MiB-class ceiling
+    assert lim == 100 * 2**20
+    # and it can never exceed the ceiling the kernels were tuned with
+    assert lim <= 100 * 2**20
+
+
+def test_fused_riccati_active_probe():
+    from parallel_ddp_tpu.ops.pallas_riccati import fused_riccati_active
+    from parallel_ddp_tpu.presets import kuka_ee
+
+    cfg = kuka_ee().cfg
+    assert fused_riccati_active(cfg, 14, 7) is True
+    # past the lane tile the factory falls back -> probe must say so
+    assert fused_riccati_active(cfg, 14, 7, mb=2048) is False
+    # a state dim past the VMEM working-set gate also falls back (a 10-dof
+    # URDF plant: per-step channel slabs exceed the 13 MiB single-instance
+    # budget, ops/pallas_riccati.py _build)
+    assert fused_riccati_active(cfg, 20, 9) is False
