@@ -150,7 +150,10 @@ def _riccati_kernel(n, m, state_reg, use_defect,
         Pc[:] = seedP_ref[:]
         pc[:] = seedp_ref[:]
 
-    rho = rho_ref[0, 0]
+    # per-LANE regularizer tile: under scenario lane-packing (see
+    # make_riccati_block_call's custom_vmap rule) each lane can belong to a
+    # different scenario mid-rho-retry, so rho is data, not a scalar
+    rho = rho_ref[0]
     P = [[Pc[i * n + j] for j in range(n)] for i in range(n)]
     p = [pc[i] for i in range(n)]
     ab = [[ab_ref[0, i * nm + j] for j in range(nm)] for i in range(n)]
@@ -255,7 +258,7 @@ def _build(n: int, m: int, nb: int, state_reg: bool, use_defect: bool,
     nm = n + m
     c_in = n * nm + nm * nm + nm + n + 2
     c_out = 2 * n * n + 3 * n + m * n + m + 3
-    c_res = 2 * (n * n + n)
+    c_res = 2 * (n * n + n) + 1  # seeds + the resident per-lane rho tile
     vmem = (2 * (c_in + c_out) + c_res) * _TILE * 4
     if vmem > _VMEM_BUDGET:
         return None
@@ -272,7 +275,7 @@ def _build(n: int, m: int, nb: int, state_reg: bool, use_defect: bool,
         grid=(nb,),
         in_specs=[
             vfull(n * n), vfull(n),                       # seeds
-            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            vfull(1),                                     # per-lane rho
             vstep(n * nm), vstep(nm * nm), vstep(nm), vstep(n), vstep(2),
         ],
         out_specs=(
@@ -322,7 +325,17 @@ def make_riccati_block_call(cfg, n: int, m: int, mb: int | None = None,
     (backPassKern semantics, bpHelpers.cuh:336-420).  `mb` is the number of
     block lanes (default cfg.m_blocks_b; the sp solver passes its chunk-local
     count).  Returns None when the shape exceeds the lane tile or the VMEM
-    budget, so callers keep the XLA scan path."""
+    budget, so callers keep the XLA scan path.
+
+    SCENARIO BATCHING: `bp` carries a custom_vmap rule that packs a jax.vmap
+    scenario axis INTO the lane tile instead of letting Pallas replicate the
+    grid.  Default batching would pad Mb lanes up to the 1024-lane tile per
+    scenario (256x padding at Mb=4) and multiply that by B grid programs —
+    20+ GB of HBM at B=256, the OOM that killed the batched_priccati bench.
+    Packed, B=256 x Mb=4 fills the tile exactly: full VPU occupancy, 256x
+    less memory, one grid pass.  Scenarios beyond one tile split into
+    ceil(B/(1024/Mb)) full-lane groups (only the last group pads).  The
+    kernel takes rho per lane, so per-scenario rho-retry states coexist."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Mb = cfg.m_blocks_b if mb is None else mb
@@ -335,64 +348,133 @@ def make_riccati_block_call(cfg, n: int, m: int, mb: int | None = None,
         return None
     nm = n + m
     nf = cfg.num_time_steps - 1
-    n_loc = Mb * Nb
 
-    def _stream(a, c):
-        """(Mb, Nb, ...) -> (Nb, c, 8, 128): flatten trailing dims to channels,
-        reverse time (the sweep runs k descending within each block, the same
-        reversal run_block applies to its scan inputs), blocks to lanes."""
-        t = jnp.transpose(a.reshape(Mb, Nb, c)[:, ::-1], (1, 2, 0))
-        return _to_lanes(t.astype(jnp.float32), Mb)
+    def _lanes(rho_l, seeds_P, seeds_p, AB_l, H_l, g_l, d_l, k_l):
+        """Lane-level core: every input lane-major with L <= _TILE lanes
+        (rho_l (L,), seeds (L,n,n)/(L,n), per-step (L,Nb,...), k_l (L,Nb)).
+        Returns per-lane outputs ((L,Nb,...) arrays, dJ (L,2), fail (L,))."""
+        L = seeds_P.shape[0]
 
-    def bp(rho, seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk):
+        def _stream(a, c):
+            # (L, Nb, ...) -> (Nb, c, 8, 128): trailing dims to channels,
+            # reverse time (the sweep runs k descending within each block,
+            # the same reversal run_block applies), lanes to the tile
+            t = jnp.transpose(a.reshape(L, Nb, c)[:, ::-1], (1, 2, 0))
+            return _to_lanes(t.astype(jnp.float32), L)
+
         # step-index masks; padding lanes are marked terminal so their
         # clamped Cholesky never reports failure and they emit zeros/carry
-        term = (k_blk == nf).astype(jnp.float32)                 # (Mb, Nb)
+        term = (k_l == nf).astype(jnp.float32)                   # (L, Nb)
         dfct = jnp.logical_and(
-            (k_blk + 1) % cfg.n_blocks_f == 0, k_blk < nf
+            (k_l + 1) % cfg.n_blocks_f == 0, k_l < nf
         ).astype(jnp.float32)
-        msk = jnp.stack([term, dfct], axis=-1)                   # (Mb, Nb, 2)
-        msk = jnp.transpose(msk[:, ::-1], (1, 2, 0))             # (Nb, 2, Mb)
-        if Mb < _TILE:
-            pad = jnp.zeros((Nb, 1, _TILE - Mb), jnp.float32)
+        msk = jnp.stack([term, dfct], axis=-1)                   # (L, Nb, 2)
+        msk = jnp.transpose(msk[:, ::-1], (1, 2, 0))             # (Nb, 2, L)
+        if L < _TILE:
+            pad = jnp.zeros((Nb, 1, _TILE - L), jnp.float32)
             msk = jnp.concatenate(
                 [msk, jnp.concatenate([pad + 1.0, pad], axis=1)], axis=-1
             )
         msk_tiles = msk.reshape(Nb, 2, _SUB, _LANE)
 
         seedP_t = _to_lanes(
-            jnp.transpose(seeds_P.reshape(Mb, n * n), (1, 0)).astype(jnp.float32),
-            Mb,
-        )
+            jnp.transpose(seeds_P.reshape(L, n * n), (1, 0)).astype(
+                jnp.float32), L)
         seedp_t = _to_lanes(
-            jnp.transpose(seeds_p, (1, 0)).astype(jnp.float32), Mb
-        )
+            jnp.transpose(seeds_p, (1, 0)).astype(jnp.float32), L)
+        rho_t = _to_lanes(rho_l.astype(jnp.float32).reshape(1, L), L)
         outs = call(
-            seedP_t, seedp_t,
-            jnp.reshape(rho, (1, 1)).astype(jnp.float32),
-            _stream(AB_blk, n * nm), _stream(H_blk, nm * nm),
-            _stream(g_blk, nm), _stream(d_blk, n),
+            seedP_t, seedp_t, rho_t,
+            _stream(AB_l, n * nm), _stream(H_l, nm * nm),
+            _stream(g_l, nm), _stream(d_l, n),
             msk_tiles,
         )
         P_t, p_t, K_t, du_t, ApBK_t, Bdu_t, dj_t, fail_t = outs
 
         def unstream(t, c, tail):
-            """(Nb, c, 8, 128) -> (Mb*Nb,) + tail: lanes to blocks, un-reverse."""
-            flat = t.reshape(Nb, c, _TILE)[:, :, :Mb]
-            blk = jnp.transpose(flat, (2, 0, 1))[:, ::-1]   # (Mb, Nb, c)
-            return blk.reshape((n_loc,) + tail)
+            # (Nb, c, 8, 128) -> (L, Nb) + tail: lanes back out, un-reverse
+            flat = t.reshape(Nb, c, _TILE)[:, :, :L]
+            blk = jnp.transpose(flat, (2, 0, 1))[:, ::-1]   # (L, Nb, c)
+            return blk.reshape((L, Nb) + tail)
 
-        dtype = AB_blk.dtype
+        dj = jnp.transpose(
+            jnp.sum(dj_t.reshape(Nb, 2, _TILE)[:, :, :L], axis=0))   # (L, 2)
+        fail = jnp.any(fail_t.reshape(Nb, 1, _TILE)[:, 0, :L] > 0.5,
+                       axis=0)                                       # (L,)
         return (
-            unstream(P_t, n * n, (n, n)).astype(dtype),
-            unstream(p_t, n, (n,)).astype(dtype),
-            unstream(K_t, m * n, (m, n)).astype(dtype),
-            unstream(du_t, m, (m,)).astype(dtype),
-            unstream(ApBK_t, n * n, (n, n)).astype(dtype),
-            unstream(Bdu_t, n, (n,)).astype(dtype),
-            jnp.sum(dj_t, axis=(0, 2, 3)).astype(dtype),
-            jnp.any(fail_t > 0.5),
+            unstream(P_t, n * n, (n, n)),
+            unstream(p_t, n, (n,)),
+            unstream(K_t, m * n, (m, n)),
+            unstream(du_t, m, (m,)),
+            unstream(ApBK_t, n * n, (n, n)),
+            unstream(Bdu_t, n, (n,)),
+            dj,
+            fail,
         )
+
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def bp(rho, seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk):
+        dtype = AB_blk.dtype
+        rho_l = jnp.broadcast_to(jnp.reshape(rho, (1,)), (Mb,))
+        outs = _lanes(rho_l, seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk,
+                      k_blk)
+        P, p, K, du, ApBK, Bdu, dj, fail = outs
+        flat = lambda a: a.reshape((Mb * Nb,) + a.shape[2:]).astype(dtype)
+        return (
+            flat(P), flat(p), flat(K), flat(du), flat(ApBK), flat(Bdu),
+            jnp.sum(dj, axis=0).astype(dtype), jnp.any(fail),
+        )
+
+    @bp.def_vmap
+    def _bp_vmap(axis_size, in_batched, *args):
+        B = axis_size
+        rho, seeds_P, seeds_p, AB_blk, H_blk, g_blk, d_blk, k_blk = (
+            a if bat else jnp.broadcast_to(a, (B,) + jnp.shape(a))
+            for a, bat in zip(args, in_batched)
+        )
+        dtype = AB_blk.dtype
+        rho_s = jnp.reshape(rho, (B,)).astype(jnp.float32)
+        L = B * Mb
+
+        if L <= _TILE:
+            pk = lambda a: a.reshape((L,) + a.shape[2:])
+            outs = _lanes(jnp.repeat(rho_s, Mb), pk(seeds_P), pk(seeds_p),
+                          pk(AB_blk), pk(H_blk), pk(g_blk), pk(d_blk),
+                          pk(k_blk))
+        else:
+            # full-lane groups of gb scenarios; only the last group pads,
+            # with its padding lanes marked terminal (k = nf) -> inert
+            gb = _TILE // Mb
+            G = -(-B // gb)
+            pad_b = G * gb - B
+
+            def pad_s(a, fill=0.0):
+                widths = [(0, pad_b)] + [(0, 0)] * (a.ndim - 1)
+                return jnp.pad(a, widths, constant_values=fill)
+
+            grp = lambda a: a.reshape((G, gb * Mb) + a.shape[2:])
+            rho_g = jnp.repeat(pad_s(rho_s), Mb).reshape(G, gb * Mb)
+            outs = jax.vmap(_lanes)(
+                rho_g, grp(pad_s(seeds_P)), grp(pad_s(seeds_p)),
+                grp(pad_s(AB_blk)), grp(pad_s(H_blk)), grp(pad_s(g_blk)),
+                grp(pad_s(d_blk)), grp(pad_s(k_blk, fill=nf)),
+            )
+            outs = tuple(
+                a.reshape((G * gb * Mb,) + a.shape[2:])[:L] for a in outs
+            )
+
+        P, p, K, du, ApBK, Bdu, dj, fail = outs
+        unpack = lambda a: a.reshape(
+            (B, Mb * Nb) + a.shape[2:]).astype(dtype)
+        res = (
+            unpack(P), unpack(p), unpack(K), unpack(du), unpack(ApBK),
+            unpack(Bdu),
+            jnp.sum(dj.reshape(B, Mb, 2), axis=1).astype(dtype),
+            jnp.any(fail.reshape(B, Mb), axis=1),
+        )
+        return res, (True,) * 8
 
     return bp
 

@@ -113,6 +113,62 @@ def test_pallas_riccati_scenario_vmap_equivalence():
             np.asarray(out.x[i]), np.asarray(ref.x), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("batch,m_blocks_b,n_steps", [
+    (3, 4, 16),      # packed single tile: L = 12 lanes
+    (5, 256, 512),   # L = 1280 > 1024: two full-lane groups, last one padded
+])
+def test_riccati_lane_packed_vmap_matches_per_sample(batch, m_blocks_b,
+                                                     n_steps):
+    """The custom_vmap rule packs the scenario axis into the kernel's lane
+    tile (ops/pallas_riccati.py make_riccati_block_call docstring) — the
+    batched-throughput path that OOMed HBM under default grid-replication
+    batching.  Per-scenario results must match the unbatched call bitwise-ish
+    (same kernel math, same lanes, different tile placement -> allclose)."""
+    import jax
+
+    from parallel_ddp_tpu.ops.pallas_riccati import make_riccati_block_call
+
+    n, m = 3, 2
+    cfg = SolverConfig(num_time_steps=n_steps, total_time=0.5,
+                       m_blocks_b=m_blocks_b, m_blocks_f=2, num_alpha=4)
+    Mb, Nb = cfg.m_blocks_b, cfg.n_blocks_b
+    bp = make_riccati_block_call(cfg, n, m)
+    assert bp is not None
+
+    rng = np.random.default_rng(7)
+    f32 = np.float32
+    B = batch
+    nm = n + m
+    C = rng.normal(0, 0.3, (B, Mb, Nb, nm, nm)).astype(f32)
+    H = np.einsum("bqkij,bqklj->bqkil", C, C) + np.eye(nm, dtype=f32)
+    args = (
+        jnp.asarray(rng.uniform(0.5, 2.0, (B,)).astype(f32)),          # rho
+        jnp.asarray(np.einsum(
+            "bqij,bqlj->bqil",
+            rng.normal(0, 0.3, (B, Mb, n, n)).astype(f32),
+            rng.normal(0, 0.3, (B, Mb, n, n)).astype(f32))
+            + np.eye(n, dtype=f32)),                                    # seeds_P
+        jnp.asarray(rng.normal(0, 0.5, (B, Mb, n)).astype(f32)),        # seeds_p
+        jnp.asarray(rng.normal(0, 0.3, (B, Mb, Nb, n, nm)).astype(f32)),
+        jnp.asarray(H),
+        jnp.asarray(rng.normal(0, 0.5, (B, Mb, Nb, nm)).astype(f32)),
+        jnp.asarray(rng.normal(0, 0.1, (B, Mb, Nb, n)).astype(f32)),
+        jnp.broadcast_to(
+            jnp.arange(Mb * Nb, dtype=jnp.int32).reshape(Mb, Nb),
+            (B, Mb, Nb)),                                               # k_blk
+    )
+
+    batched = jax.vmap(bp)(*args)
+    for i in range(B):
+        ref = bp(*(a[i] for a in args))
+        for name, a, b in zip(
+                ("P", "p", "K", "du", "ApBK", "Bdu", "dJexp", "fail"),
+                ref, (o[i] for o in batched)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-5, atol=2e-6,
+                err_msg=f"{name}[{i}]")
+
+
 def test_pallas_riccati_sp_sharded_equivalence():
     """The fused sweep inside the 'sp' horizon-sharded solver (chunk-local
     TRACED step indices flowing into the kernel's masks) matches the
