@@ -145,6 +145,51 @@ def _run_pair(call, x, u, tail1, tail2):
     return _from_tiles(o1, b, tail1), _from_tiles(o2, b, tail2)
 
 
+@functools.lru_cache(maxsize=8)
+def _packed_entry_points(ee_type: int, gravity: float, interpret: bool):
+    """custom_vmap-wrapped kernel entries: a jax.vmap scenario axis is
+    FLATTENED into the sample batch (which _to_tiles already lane-packs into
+    full 1024-lane tiles) instead of Pallas replicating the grid per scenario
+    with each scenario's 63-sample batch padded 16x (the HBM/occupancy
+    pathology fixed for the other kernels too — see ops/pallas_riccati.py
+    make_riccati_block_call docstring)."""
+    from jax.custom_batching import custom_vmap
+
+    qdd_call, jac_call = _build(ee_type, gravity, interpret)
+
+    @custom_vmap
+    def qdd(x, u):
+        return _run(qdd_call, x, u, (N_JOINTS,))
+
+    @qdd.def_vmap
+    def _qdd_vmap(axis_size, in_batched, x, u):
+        B = axis_size
+        x, u = (a if bat else jnp.broadcast_to(a, (B,) + jnp.shape(a))
+                for a, bat in zip((x, u), in_batched))
+        s = x.shape[1]
+        out = _run(qdd_call, x.reshape(B * s, x.shape[-1]),
+                   u.reshape(B * s, u.shape[-1]), (N_JOINTS,))
+        return out.reshape(B, s, N_JOINTS), True
+
+    @custom_vmap
+    def jac_qdd(x, u):
+        return _run_pair(jac_call, x, u, (N_JOINTS, 3 * N_JOINTS), (N_JOINTS,))
+
+    @jac_qdd.def_vmap
+    def _jac_vmap(axis_size, in_batched, x, u):
+        B = axis_size
+        x, u = (a if bat else jnp.broadcast_to(a, (B,) + jnp.shape(a))
+                for a, bat in zip((x, u), in_batched))
+        s = x.shape[1]
+        J, q = _run_pair(jac_call, x.reshape(B * s, x.shape[-1]),
+                         u.reshape(B * s, u.shape[-1]),
+                         (N_JOINTS, 3 * N_JOINTS), (N_JOINTS,))
+        return (J.reshape(B, s, N_JOINTS, 3 * N_JOINTS),
+                q.reshape(B, s, N_JOINTS)), (True, True)
+
+    return qdd, jac_qdd
+
+
 def kuka_qdd_pallas(x, u, ee_type: int = 1, gravity: float = 9.81,
                     interpret: bool | None = None):
     """Batched forward dynamics qdd (B, 7), one fused Pallas kernel per 1024-batch tile.
@@ -152,8 +197,8 @@ def kuka_qdd_pallas(x, u, ee_type: int = 1, gravity: float = 9.81,
     x: (B, 14); u: (B, 7).  interpret=None auto-selects interpreter mode off-TPU."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    qdd_call, _ = _build(ee_type, float(gravity), bool(interpret))
-    return _run(qdd_call, x, u, (N_JOINTS,))
+    qdd, _ = _packed_entry_points(ee_type, float(gravity), bool(interpret))
+    return qdd(x, u)
 
 
 def kuka_qdd_jac_pallas(x, u, ee_type: int = 1, gravity: float = 9.81,
@@ -169,8 +214,8 @@ def kuka_jac_qdd_pallas(x, u, ee_type: int = 1, gravity: float = 9.81,
     the primal is the linearization point jax.linearize evaluates anyway."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    _, jac_call = _build(ee_type, float(gravity), bool(interpret))
-    return _run_pair(jac_call, x, u, (N_JOINTS, 3 * N_JOINTS), (N_JOINTS,))
+    _, jac_qdd = _packed_entry_points(ee_type, float(gravity), bool(interpret))
+    return jac_qdd(x, u)
 
 
 def make_ab_composer(fdyn, fjac, integrator: int, dt: float, ns: int, nj: int,

@@ -155,7 +155,13 @@ def make_kuka_fused_rollout(ee_type: int, gravity: float, integrator: int,
     'sp' horizon-sharded solver (parallel/sp.py) passes a TRACED chunk-local
     mask instead — there N/M above are the per-device chunk shape and only the
     LAST device's final step is the true horizon end, which depends on
-    lax.axis_index and so cannot be baked in at trace time."""
+    lax.axis_index and so cannot be baked in at trace time.
+
+    SCENARIO BATCHING: the kernel call carries a custom_vmap rule that packs
+    a jax.vmap scenario axis INTO the lane tile (same design as
+    ops/pallas_riccati.py): default batching would stream each scenario's
+    per-step slabs padded from A*M = 64 lanes up to 1024 (16x waste, ~8 GB of
+    HBM traffic at B=256); packed, 16 scenarios share each full tile."""
     N = num_time_steps
     M = m_blocks_f
     nf_steps = N // M  # Nf
@@ -163,11 +169,66 @@ def make_kuka_fused_rollout(ee_type: int, gravity: float, integrator: int,
         return None
     call = _build(ee_type, gravity, integrator, dt, nf_steps, interpret)
     nf_idx = N - 1
+    L = num_alpha * M  # (alpha, block) lanes per scenario
+
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def packed_core(x0_l, sin_l, al_l, skip_l):
+        """Lane-level kernel call: x0_l (NS, L), sin_l (Nf, C, L), al_l (1, L),
+        skip_l (Nf, 1, L) -> (xout (Nf, NS, L), uout (Nf, NJ, L))."""
+        xout, uout = call(
+            _to_lanes(x0_l, L), _to_lanes(sin_l, L),
+            _to_lanes(al_l, L), _to_lanes(skip_l, L),
+        )
+        unt = lambda t, c: t.reshape(nf_steps, c, _TILE)[:, :, :L]
+        return unt(xout, NS), unt(uout, NJ)
+
+    @packed_core.def_vmap
+    def _packed_vmap(axis_size, in_batched, *args):
+        B = axis_size
+        x0_l, sin_l, al_l, skip_l = (
+            a if bat else jnp.broadcast_to(a, (B,) + jnp.shape(a))
+            for a, bat in zip(args, in_batched)
+        )
+        gs = max(1, min(_TILE // L, B))   # scenarios per full-lane group
+        G = -(-B // gs)
+        pad_b = G * gs - B
+
+        def grp(a, fill):
+            # (B, ..., L) -> (G, ..., gs*L): pad the scenario axis (inert
+            # lanes: skip=1 everywhere), group, fold scenarios into lanes
+            if pad_b:
+                widths = [(0, pad_b)] + [(0, 0)] * (a.ndim - 1)
+                a = jnp.pad(a, widths, constant_values=fill)
+            a = a.reshape((G, gs) + a.shape[1:])
+            a = jnp.moveaxis(a, 1, -2)
+            return a.reshape(a.shape[:-2] + (gs * L,))
+
+        def one_group(x0g, sing, alg, skipg):
+            Lg = gs * L
+            xout, uout = call(
+                _to_lanes(x0g, Lg), _to_lanes(sing, Lg),
+                _to_lanes(alg, Lg), _to_lanes(skipg, Lg),
+            )
+            unt = lambda t, c: t.reshape(nf_steps, c, _TILE)[:, :, :Lg]
+            return unt(xout, NS), unt(uout, NJ)
+
+        xo, uo = jax.vmap(one_group)(
+            grp(x0_l, 0.0), grp(sin_l, 0.0), grp(al_l, 0.0), grp(skip_l, 1.0)
+        )
+
+        def ungrp(a):
+            # (G, Nf, c, gs*L) -> (B, Nf, c, L)
+            a = a.reshape(a.shape[:-1] + (gs, L))
+            a = jnp.moveaxis(a, -2, 1)
+            return a.reshape((G * gs,) + a.shape[2:])[:B]
+
+        return (ungrp(xo), ungrp(uo)), (True, True)
 
     def fused(x_swept, u, K, du, xp, alphas, skip_mask=None):
         A = alphas.shape[0]
-        L = A * M
-        assert L <= _TILE, f"A*M = {L} exceeds one lane tile ({_TILE})"
+        assert A * M == L, f"alphas changed shape: {A}*{M} != {L}"
         f32 = jnp.float32
 
         def per_step(blk, c):
@@ -200,13 +261,9 @@ def make_kuka_fused_rollout(ee_type: int, gravity: float, integrator: int,
             alphas.astype(f32)[:, None], (A, M)
         ).reshape(1, L)
 
-        xout, uout = call(
-            _to_lanes(x0_l, L), _to_lanes(sin, L),
-            _to_lanes(al_l, L), _to_lanes(skip, L),
-        )
+        xout, uout = packed_core(x0_l, sin, al_l, skip)
 
-        def from_lanes(t, c):
-            flat = t.reshape(nf_steps, c, _TILE)[:, :, :L]
+        def from_lanes(flat, c):                         # (Nf, c, L) lane-major
             return jnp.transpose(
                 flat.reshape(nf_steps, c, A, M), (2, 3, 0, 1)
             )

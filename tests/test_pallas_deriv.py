@@ -127,3 +127,23 @@ def test_pallas_core_plant_exposes_batched_jac():
     assert plant.batched_step_jac is not None
     jac = plant.batched_step_jac(3, 0.01)
     assert callable(jac)
+
+
+def test_qdd_scenario_vmap_flattens_into_tiles():
+    """jax.vmap over a scenario axis routes through the kernels' custom_vmap
+    rule (ops/pallas_rbd.py _packed_entry_points): the scenario axis is
+    flattened into the sample batch (which _to_tiles lane-packs) instead of
+    Pallas replicating the grid with 16x-padded tiles per scenario.  B*S
+    chosen to span two 1024-lane tiles."""
+    from parallel_ddp_tpu.ops.pallas_rbd import kuka_qdd_pallas
+
+    rng = np.random.default_rng(11)
+    B, S = 9, 120  # 1080 samples -> two tiles after flattening
+    x = jnp.asarray(rng.normal(0, 0.5, (B, S, 14)), jnp.float32)
+    u = jnp.asarray(rng.normal(0, 2.0, (B, S, 7)), jnp.float32)
+
+    qdd_b = jax.vmap(lambda a, b: kuka_qdd_pallas(a, b, interpret=True))(x, u)
+    for i in (0, 4, B - 1):
+        ref = kuka_qdd_pallas(x[i], u[i], interpret=True)
+        np.testing.assert_allclose(np.asarray(qdd_b[i]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"qdd[{i}]")

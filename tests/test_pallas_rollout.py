@@ -163,3 +163,38 @@ def test_fused_rollout_chunk_skip_mask():
     np.testing.assert_allclose(np.asarray(u_f[:, -1, -1]),
                                np.asarray(jnp.broadcast_to(u[-1], (A, 7))),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("batch", [3, 200])
+def test_fused_rollout_scenario_vmap_packed(batch):
+    """jax.vmap over scenarios routes through the kernel's custom_vmap rule
+    (ops/pallas_rollout.py packed_core): scenarios are packed into the lane
+    tile (batch=3 -> one group; batch=200 with L=6 lanes/scenario and
+    gs=170 scenarios/group -> two groups, padded tail).  Per-scenario results
+    must match the unbatched call."""
+    integrator = 1
+    N, M, A = 4, 2, 3
+    dt = 0.025
+    fused = make_kuka_fused_rollout(1, 9.81, integrator, dt, N, M, A,
+                                    interpret=True)
+    assert fused is not None
+
+    rng = np.random.default_rng(5)
+    B = batch
+    x_swept = jnp.asarray(rng.normal(0, 0.4, (B, A, N, 14)), jnp.float32)
+    u = jnp.asarray(rng.normal(0, 2.0, (B, N, 7)), jnp.float32)
+    K = jnp.asarray(rng.normal(0, 0.2, (B, N, 7, 14)), jnp.float32)
+    du = jnp.asarray(rng.normal(0, 0.5, (B, N, 7)), jnp.float32)
+    xp = jnp.asarray(rng.normal(0, 0.4, (B, N, 14)), jnp.float32)
+    alphas = jnp.asarray([1.0, 0.5, 0.25], jnp.float32)
+
+    x_b, u_b = jax.vmap(
+        lambda xs, uu, kk, dd, xpp: fused(xs, uu, kk, dd, xpp, alphas)
+    )(x_swept, u, K, du, xp)
+
+    for i in (0, B // 2, B - 1):
+        x_r, u_r = fused(x_swept[i], u[i], K[i], du[i], xp[i], alphas)
+        np.testing.assert_allclose(np.asarray(x_b[i]), np.asarray(x_r),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"x[{i}]")
+        np.testing.assert_allclose(np.asarray(u_b[i]), np.asarray(u_r),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"u[{i}]")
