@@ -68,16 +68,40 @@ def _run_device_loop(args):
     from parallel_ddp_tpu.mpc.driver import MPCConfig, MPCController
     from parallel_ddp_tpu.presets import fig8_weights, figure8_goal, kuka_ee
 
-    prob = kuka_ee(mpc_mode=True, core=getattr(args, "core", "auto"))
-    cfg = dataclasses.replace(
-        prob.cfg, pallas_riccati=getattr(args, "pallas_riccati", False))
+    from parallel_ddp_tpu.utils import aot
+
+    core = getattr(args, "core", "auto")
+    pric = getattr(args, "pallas_riccati", False)
+    prob = kuka_ee(mpc_mode=True, core=core)
+    cfg = dataclasses.replace(prob.cfg, pallas_riccati=pric)
     ctrl = MPCController(
         prob.plant, prob.cost, cfg, MPCConfig(max_iters_per_solve=args.iters)
     )
-    loop = make_device_mpc_loop(
-        ctrl, sim_rate_hz=args.sim_rate, control_period_s=args.control_period,
-        sim_integrator=1,
-    )
+
+    def build_loop():
+        return make_device_mpc_loop(
+            ctrl, sim_rate_hz=args.sim_rate,
+            control_period_s=args.control_period, sim_integrator=1,
+        )
+
+    # AOT: the settle and track phases are two shapes of the same program;
+    # cache each export so reruns skip the minutes-long per-process trace
+    # (utils/aot.py).  The loop is only built live on a cache miss.
+    _loop_live = None
+
+    def loop_for(tag, example_args):
+        nonlocal _loop_live
+
+        def build():
+            nonlocal _loop_live
+            if _loop_live is None:
+                _loop_live = build_loop()
+            return _loop_live
+
+        base = (f"fig8loop-{core}-pr{int(pric)}-i{args.iters}"
+                f"-sr{args.sim_rate:g}-cp{args.control_period:g}")
+        fn, _ = aot.cached_program(f"{base}-{tag}", build, example_args)
+        return fn
 
     x_init = np.zeros(14, np.float32)
     x_init[1], x_init[3], x_init[5] = np.pi / 4, -np.pi / 4, np.pi / 4
@@ -104,14 +128,18 @@ def _run_device_loop(args):
     # compile both phases; reading a result flips the process into synchronous
     # dispatch, so the timed rerun below measures true device time (+1 RTT)
     # rather than enqueue latency (see bench.py docstring)
-    res_settle = loop(st, x_init, 0.0, goals_settle, w)
+    settle_args = (st, x_init, 0.0, goals_settle, w)
+    loop_settle = loop_for("settle", settle_args)
+    res_settle = loop_settle(*settle_args)
     jax.block_until_ready(res_settle.ee_err)
     t_settle = args.settle_time
-    res_track = loop(res_settle.state, res_settle.x[-1], t_settle, goals_track, w)
+    track_args = (res_settle.state, res_settle.x[-1], t_settle, goals_track, w)
+    loop_track = loop_for("track", track_args)
+    res_track = loop_track(*track_args)
     _ = float(res_track.J[-1])
 
     t0 = time.perf_counter()
-    res_track = loop(res_settle.state, res_settle.x[-1], t_settle, goals_track, w)
+    res_track = loop_track(*track_args)
     jax.block_until_ready(res_track.ee_err)
     wall = time.perf_counter() - t0
 

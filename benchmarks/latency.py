@@ -33,12 +33,13 @@ def latency_result(reps: int = REPS, core: str = "auto",
     from parallel_ddp_tpu.presets import ee_goal, kuka_ee
     from parallel_ddp_tpu.solver import make_ilqr_solver
 
+    from parallel_ddp_tpu.utils import aot
+
     prob = kuka_ee(core=core)
     # fixed iteration count (tol_cost=0 disables the early exit so every solve
     # does the same work, like a time-budgeted MPC solve at steady state)
     cfg = dataclasses.replace(prob.cfg, max_iter=N_ITERS_PER_SOLVE, tol_cost=0.0,
                               pallas_riccati=pallas_riccati)
-    solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
 
     rng = np.random.default_rng(0)
     n = cfg.num_time_steps
@@ -49,9 +50,19 @@ def latency_result(reps: int = REPS, core: str = "auto",
     us = [jnp.asarray(rng.normal(0, 1.0, (n, 7)).astype(np.float32))
           for _ in range(reps)]
 
+    # AOT cache: tracing this program is minutes of single-core Python per
+    # process (utils/aot.py docstring); a valid export skips it entirely
+    def build():
+        solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
+        return jax.jit(
+            lambda x0, u0, g: solver(x0, u0, g, initial_rollout=True))
+
+    solve, _from_aot = aot.cached_program(
+        f"latency-{core}-pr{int(pallas_riccati)}", build, (xs[0], us[0], goal))
+
     # compile + switch the process into synchronous (honest) dispatch mode by
     # reading one result
-    out = solver(xs[0], us[0], goal, initial_rollout=True)
+    out = solve(xs[0], us[0], goal)
     _ = float(out.J)
 
     # tunnel round-trip time via a trivial kernel
@@ -68,7 +79,7 @@ def latency_result(reps: int = REPS, core: str = "auto",
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
-        out = solver(xs[i], us[i], goal, initial_rollout=True)
+        out = solve(xs[i], us[i], goal)
         jax.block_until_ready(out.J)
         times.append(time.perf_counter() - t0)
 

@@ -52,6 +52,7 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
 
     from parallel_ddp_tpu.presets import ee_goal, kuka_ee
     from parallel_ddp_tpu.solver import make_ilqr_solver
+    from parallel_ddp_tpu.utils import aot
 
     prob = kuka_ee(core=core)
     cfg = dataclasses.replace(prob.cfg, max_iter=iters, tol_cost=0.0,
@@ -60,7 +61,6 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
     rng = np.random.default_rng(0)
     n = cfg.num_time_steps
     goal1 = ee_goal([0.0, -0.55, 0.35])
-    solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
 
     # Timing protocol for the remote-tunnel TPU (see bench.py): chain K
     # batched solves inside ONE program and end the measurement with a real
@@ -83,20 +83,30 @@ def batched_result(batches=(16, 64, 256), iters=6, reps=10, k_chain=8,
         goals = {k: jnp.tile(np.asarray(v)[None], (b, 1))
                  for k, v in goal1.items()}
 
-        @jax.jit
-        def prog(x0s, u0s):
-            def body(c, i):
-                out = jax.vmap(
-                    lambda x0, u0, g_ee, g_xt: solver(
-                        x0, u0, {"ee_goal": g_ee, "x_target": g_xt},
-                        initial_rollout=True),
-                )(c, u0s, goals["ee_goal"], goals["x_target"])
-                return c + out.J[:, None, None] * 1e-9, out.J
-            c, js = lax.scan(body, x0s, jnp.arange(k_chain, dtype=jnp.float32))
-            return js
+        def build(goals=goals):
+            solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
+
+            @jax.jit
+            def prog(x0s, u0s):
+                def body(c, i):
+                    out = jax.vmap(
+                        lambda x0, u0, g_ee, g_xt: solver(
+                            x0, u0, {"ee_goal": g_ee, "x_target": g_xt},
+                            initial_rollout=True),
+                    )(c, u0s, goals["ee_goal"], goals["x_target"])
+                    return c + out.J[:, None, None] * 1e-9, out.J
+                c, js = lax.scan(body, x0s,
+                                 jnp.arange(k_chain, dtype=jnp.float32))
+                return js
+
+            return prog
 
         x0s = jnp.asarray(rng.normal(0, 0.3, (b, n, 14)).astype(np.float32))
         u0s = jnp.asarray(rng.normal(0, 1.0, (b, n, 7)).astype(np.float32))
+        # AOT: skip the per-process trace when a valid export exists
+        prog, _from_aot = aot.cached_program(
+            f"batched-{core}-b{b}-k{k_chain}-i{iters}-bf{int(bf16)}"
+            f"-pr{int(pallas_riccati)}", build, (x0s, u0s))
         _ = np.asarray(prog(x0s, u0s))  # compile + first read
         r = rtt_read()
         ts = []

@@ -50,6 +50,7 @@ def _run(args):
     from parallel_ddp_tpu.models.kuka.rbd import KukaRBD
     from parallel_ddp_tpu.models.kuka.soa import KukaSoA
     from parallel_ddp_tpu.ops.pallas_rbd import kuka_qdd_jac_pallas, kuka_qdd_pallas
+    from parallel_ddp_tpu.utils import aot
 
     b = args.batch
     rng = np.random.default_rng(0)
@@ -59,9 +60,9 @@ def _run(args):
     rbd = KukaRBD()
 
     # correctness cross-check first (transfers also flip us into sync mode)
-    q_soa = np.asarray(soa.forward_dynamics(x, u))
-    q_rbd = np.asarray(jax.vmap(rbd.forward_dynamics)(x[:64], u[:64]))
-    q_pal = np.asarray(kuka_qdd_pallas(x, u))
+    q_soa = np.asarray(jax.jit(soa.forward_dynamics)(x, u))
+    q_rbd = np.asarray(jax.jit(jax.vmap(rbd.forward_dynamics))(x[:64], u[:64]))
+    q_pal = np.asarray(jax.jit(kuka_qdd_pallas)(x, u))
     err_soa_rbd = float(np.abs(q_soa[:64] - q_rbd).max())
     err_pal_soa = float(np.abs(q_pal - q_soa).max())
 
@@ -79,14 +80,20 @@ def _run(args):
     def bench(fn, label):
         k = args.scan
 
-        @jax.jit
-        def prog(x, u):
-            def body(c, i):
-                out = fn(c + i * 1e-9, u)
-                return c + jnp.sum(out) * 1e-12, None
-            c, _ = lax.scan(body, x, jnp.arange(k, dtype=jnp.float32))
-            return c
+        def build():
+            @jax.jit
+            def prog(x, u):
+                def body(c, i):
+                    out = fn(c + i * 1e-9, u)
+                    return c + jnp.sum(out) * 1e-12, None
+                c, _ = lax.scan(body, x, jnp.arange(k, dtype=jnp.float32))
+                return c
 
+            return prog
+
+        slug = label.replace(" ", "_")
+        prog, _from_aot = aot.cached_program(
+            f"timedyn-{slug}-b{b}-k{k}", build, (x, u))
         r = prog(x, u)
         jax.block_until_ready(r)
         rr = rtt()

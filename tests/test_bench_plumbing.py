@@ -40,9 +40,48 @@ def test_bench_emits_json_under_tiny_budget():
     out = json.loads(lines[-1])
     assert out["metric"] == "kuka_n64_mpc_solves_per_s"
     assert set(out) >= {"metric", "value", "unit", "vs_baseline", "extra"}
-    # CPU backend -> preflight refuses -> no device value, provenance attached
+    # CPU backend -> preflight refuses -> no device value; any provenance
+    # attachments come from the committed stage cache and carry their stamps
     assert out["value"] is None
-    assert "last_measured_on_chip" in out["extra"]
+    from benchmarks import stage_cache
+
+    for name in out["extra"].get("cached_stage_results", []):
+        entry = out["extra"][f"{name}_cached"]
+        assert {"result", "utc", "git_rev", "backend"} <= set(entry)
+        assert entry["backend"] != "cpu"
+        assert stage_cache.get(name) == entry
+
+
+def test_bench_worker_preflight_refuses_cpu():
+    # Requesting a real stage on the CPU test backend: the device worker's
+    # preflight must refuse (no CPU numbers in a TPU artifact), the retry
+    # loop must respect the budget, and the final line must still be JSON.
+    env = dict(os.environ)
+    env["PDDP_BENCH_STAGES"] = "latency"
+    env["PDDP_BENCH_BUDGET"] = "90"
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")],
+        capture_output=True, text=True, timeout=280, env=env, cwd=str(ROOT),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads([ln for ln in proc.stdout.splitlines() if ln.strip()][-1])
+    assert out["value"] is None
+    assert out["extra"].get("device_unreachable") is True
+    assert "latency" in out["extra"].get("stages_skipped", [])
+
+
+def test_stage_cache_round_trip(tmp_path, monkeypatch):
+    from benchmarks import stage_cache
+
+    monkeypatch.setattr(stage_cache, "PATH", str(tmp_path / "sc.json"))
+    stage_cache.record("latency", {"solves_per_s": 123.0}, backend="tpu")
+    entry = stage_cache.get("latency")
+    assert entry["result"] == {"solves_per_s": 123.0}
+    assert entry["backend"] == "tpu"
+    assert entry["utc"].endswith("Z")
+    # CPU results must be refused — a TPU artifact must not inherit them
+    stage_cache.record("latency", {"solves_per_s": 9.0}, backend="cpu")
+    assert stage_cache.get("latency")["result"] == {"solves_per_s": 123.0}
 
 
 def test_vmem_limit_is_generation_aware():
