@@ -80,6 +80,51 @@ print("@@RESULT@@" + json.dumps(convergence_result(trials=12)))
 
 _T0 = time.monotonic()
 
+# stage -> predicate over AOT-export basenames (benchmarks/{latency,scaling,
+# timedyn,fig8}.py naming).  Used ONLY to order warm stages before cold ones;
+# a drifted name just loses the ordering hint, never skips a stage.
+_AOT_HINT = {
+    "latency": lambda n: n.startswith("latency-auto-pr0"),
+    "latency_pallas": lambda n: n.startswith("latency-pallas-pr0"),
+    "latency_priccati": lambda n: n.startswith("latency-pallas-pr1"),
+    "batched": lambda n: n.startswith("batched-auto-") and "-bf0-pr0" in n,
+    "batched_pallas": (
+        lambda n: n.startswith("batched-pallas-") and "-bf0-pr0" in n),
+    "batched_priccati": (
+        lambda n: n.startswith("batched-pallas-") and "-pr1" in n),
+    "batched_bf16": lambda n: n.startswith("batched-auto-") and "-bf1" in n,
+    "rbd": lambda n: n.startswith("timedyn-"),
+    "fig8": lambda n: n.startswith("fig8loop-auto-pr0"),
+    "fig8_priccati": lambda n: n.startswith("fig8loop-pallas-pr1"),
+}
+
+
+def _warm_stages() -> set:
+    """Stages with at least one VALID (current source digest, TPU backend)
+    AOT export — their per-process trace cost is already paid, so the worker
+    runs them before any cold stage can burn the remaining budget."""
+    try:
+        from parallel_ddp_tpu.utils import aot
+
+        d = aot._aot_dir()
+        digest = aot._source_digest()
+        names = []
+        for fn in os.listdir(d):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if meta.get("src_digest") == digest and \
+                    meta.get("backend") != "cpu":
+                names.append(fn[:-len(".json")])
+        return {s for s, pred in _AOT_HINT.items()
+                if any(pred(n) for n in names)}
+    except Exception:  # noqa: BLE001 — ordering hint only
+        return set()
+
 
 def _remaining() -> float:
     return BUDGET_S - (time.monotonic() - _T0)
@@ -192,6 +237,14 @@ def main():
                                 ",".join(ORDER) + ",convergence")
     want = {s.strip() for s in stages_env.split(",")}
     want_device = [s for s in ORDER if s in want]
+    warm = _warm_stages()
+    if warm:
+        # warm-first: a cold stage's multi-minute trace+compile must never
+        # starve stages whose programs are already cached
+        want_device = ([s for s in want_device if s in warm]
+                       + [s for s in want_device if s not in warm])
+        print(f"[bench] warm stages first: {[s for s in want_device if s in warm]}",
+              file=sys.stderr)
     extra = {}
     value = None
     skipped = []
