@@ -30,8 +30,12 @@ The invariants now:
   * NO PER-PROCESS RE-TRACING.  The worker's stage programs load from the AOT
     export cache (parallel_ddp_tpu/utils/aot.py) + the persistent executable
     cache, both pre-populated by scripts/warm_compile_cache.py.
-  * BREADTH FIRST.  benchmarks/stages.py ORDER lands one number per metric
-    family before any family's kernel-path variants.
+  * WARM FIRST, then BREADTH FIRST.  Stages whose AOT exports are valid run
+    before any cold stage (a cold stage's multi-minute trace+compile must
+    never starve already-cached programs); within each group
+    benchmarks/stages.py ORDER lands one number per metric family before any
+    family's kernel-path variants, and the first latency-family stage is
+    pinned to the head of the cold group so the headline lands earliest.
   * The convergence stage is a CPU-backend numerics metric — it runs
     CONCURRENTLY in its own process (it never touches the tunnel).
   * HONEST FALLBACK.  A stage that could not run live gets the last on-chip
@@ -104,10 +108,27 @@ def _warm_stages() -> set:
     AOT export — their per-process trace cost is already paid, so the worker
     runs them before any cold stage can burn the remaining budget."""
     try:
+        import importlib.metadata
+
         from parallel_ddp_tpu.utils import aot
 
         d = aot._aot_dir()
         digest = aot._source_digest()
+        # aot.load also requires the jax version to match; check it here too
+        # (without importing jax in the parent) so a post-upgrade run doesn't
+        # order every stage as "warm" (ADVICE r4 #3)
+        jax_version = importlib.metadata.version("jax")
+        # per-benchmark caller digests (aot entries are also keyed by the
+        # source of the module that built them — utils/aot.py `src=`)
+        bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks")
+        callers = {
+            pfx: aot._caller_digest(os.path.join(bdir, mod))
+            for pfx, mod in (("latency", "latency.py"),
+                             ("batched", "scaling.py"),
+                             ("timedyn", "timedyn.py"),
+                             ("fig8loop", "fig8.py"))
+        }
         names = []
         for fn in os.listdir(d):
             if not fn.endswith(".json"):
@@ -117,8 +138,13 @@ def _warm_stages() -> set:
                     meta = json.load(f)
             except (OSError, ValueError):
                 continue
+            want_caller = next((dg for pfx, dg in callers.items()
+                                if fn.startswith(pfx)), None)
             if meta.get("src_digest") == digest and \
-                    meta.get("backend") != "cpu":
+                    meta.get("backend") != "cpu" and \
+                    meta.get("jax_version") == jax_version and \
+                    (want_caller is None
+                     or meta.get("caller_digest") == want_caller):
                 names.append(fn[:-len(".json")])
         return {s for s, pred in _AOT_HINT.items()
                 if any(pred(n) for n in names)}
@@ -240,9 +266,15 @@ def main():
     warm = _warm_stages()
     if warm:
         # warm-first: a cold stage's multi-minute trace+compile must never
-        # starve stages whose programs are already cached
-        want_device = ([s for s in want_device if s in warm]
-                       + [s for s in want_device if s not in warm])
+        # starve stages whose programs are already cached.  Within the cold
+        # group the first latency-family stage is pinned to the head so a
+        # squeezed budget still lands the headline family's base number
+        # (ADVICE r4 #4).
+        cold = [s for s in want_device if s not in warm]
+        lat = [s for s in cold if s.startswith("latency")]
+        if lat:
+            cold = [lat[0]] + [s for s in cold if s != lat[0]]
+        want_device = [s for s in want_device if s in warm] + cold
         print(f"[bench] warm stages first: {[s for s in want_device if s in warm]}",
               file=sys.stderr)
     extra = {}
@@ -386,23 +418,33 @@ def main():
                   file=sys.stderr)
             skipped.append("convergence")
 
-    if value is None:
+    lat_requested = any(s.startswith("latency") for s in want_device)
+    if value is None and lat_requested:
         # No latency-family stage ran live (tunnel down/wedged).  Rather than
-        # a null headline (rounds 2-3), fall back to the freshest CACHED
-        # on-chip measurement of the same stage code — and say so: the
-        # headline_source field and the *_cached provenance blocks make the
-        # distinction unmissable.  A live run always takes precedence above.
-        best = None
+        # a null headline (rounds 2-3), fall back to the FRESHEST (newest utc)
+        # cached on-chip measurement across the latency-family stages — never
+        # the fastest, which could resurrect a pre-fix inflated number from an
+        # older rev (ADVICE r4 #1).  Among entries recorded at the same utc
+        # (one bench run records all three within seconds), the fastest of
+        # those contemporaries is the same choice a live run would make.
+        # The headline_source field and the *_cached provenance block make
+        # the cached origin unmissable.  A live run always takes precedence.
+        cands = []
         for name in ("latency", "latency_pallas", "latency_priccati"):
             c = stage_cache.get(name)
             if c and isinstance(c.get("result"), dict):
                 v = c["result"].get("solves_per_s")
-                if v is not None and (best is None or v > best[1]):
-                    best = (name, v, c)
-        if best is not None:
-            name, v, c = best
+                if v is not None:
+                    cands.append((c.get("utc") or "", name, v, c))
+        if cands:
+            newest = max(c[0] for c in cands)
+            # contemporaries: entries within the same bench run (~minutes)
+            same_run = [c for c in cands if c[0][:16] == newest[:16]]
+            _, name, v, c = max(same_run, key=lambda t: t[2])
             value = v
             extra["latency_headline_path"] = f"cached:{name}"
+            extra["latency_per_solve_ms"] = c["result"].get("per_solve_ms")
+            extra[f"{name}_cached"] = c
             extra["headline_source"] = (
                 f"stage cache ({c.get('utc')}, rev {c.get('git_rev')}) — "
                 "no live latency stage this run")

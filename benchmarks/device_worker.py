@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,6 +27,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def emit(name: str, payload: dict) -> None:
     print(f"@@STAGE@@ {name} {json.dumps(payload)}", flush=True)
+
+
+class _Heartbeat:
+    """Prints a liveness line to stdout every `period` s while a stage runs,
+    so the parent's inactivity watchdog (bench.py run_device_worker) does not
+    mistake a cold trace/compile — minutes of silence by nature — for a
+    wedged tunnel (r4 lost the fig8 stage exactly this way).  Beats stop
+    after `cap` seconds: past the stage's own nominal budget the parent
+    SHOULD time the worker out, so a true wedge stays bounded."""
+
+    def __init__(self, name: str, period: float = 45.0, cap: float = 420.0):
+        self._stop = threading.Event()
+        self._t = threading.Thread(
+            target=self._run, args=(name, period, cap), daemon=True)
+        self._t.start()
+
+    def _run(self, name, period, cap):
+        t0 = time.monotonic()
+        while not self._stop.wait(period):
+            el = time.monotonic() - t0
+            if el > cap:
+                return
+            print(f"[worker] heartbeat: {name} running {el:.0f}s",
+                  flush=True)
+
+    def stop(self):
+        self._stop.set()
 
 
 def main() -> None:
@@ -44,7 +72,7 @@ def main() -> None:
     if not ok:
         return
 
-    from benchmarks.stages import CANONICAL
+    from benchmarks.stages import CANONICAL, NOMINAL_S
 
     for name in stages:
         fn = CANONICAL.get(name)
@@ -52,6 +80,7 @@ def main() -> None:
             emit(name, {"error": f"unknown stage {name!r}"})
             continue
         t0 = time.monotonic()
+        hb = _Heartbeat(name, cap=0.9 * NOMINAL_S.get(name, 420.0))
         try:
             r = fn()
             r["_stage_wall_s"] = round(time.monotonic() - t0, 1)
@@ -60,6 +89,8 @@ def main() -> None:
             print(f"[worker] stage {name} failed: {e!r}", file=sys.stderr,
                   flush=True)
             emit(name, {"error": repr(e)[-500:]})
+        finally:
+            hb.stop()
 
 
 if __name__ == "__main__":

@@ -58,7 +58,8 @@ def latency_result(reps: int = REPS, core: str = "auto",
             lambda x0, u0, g: solver(x0, u0, g, initial_rollout=True))
 
     solve, _from_aot = aot.cached_program(
-        f"latency-{core}-pr{int(pallas_riccati)}", build, (xs[0], us[0], goal))
+        f"latency-{core}-pr{int(pallas_riccati)}", build, (xs[0], us[0], goal),
+        src=__file__)
 
     # compile + switch the process into synchronous (honest) dispatch mode by
     # reading one result

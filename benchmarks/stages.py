@@ -13,10 +13,10 @@ def _latency(core: str, priccati: bool):
     return latency_result(core=core, pallas_riccati=priccati)
 
 
-def _batched(core: str, bf16: bool, priccati: bool):
+def _batched(core: str, bf16: bool, priccati: bool, batches=(256,)):
     from benchmarks.scaling import batched_result
 
-    return batched_result(batches=(256,), iters=6, reps=6, core=core,
+    return batched_result(batches=batches, iters=6, reps=3, core=core,
                           bf16=bf16, pallas_riccati=priccati)
 
 
@@ -40,10 +40,16 @@ CANONICAL = {
     "latency": lambda: _latency("auto", False),
     "latency_pallas": lambda: _latency("pallas", False),
     "latency_priccati": lambda: _latency("pallas", True),
-    "batched": lambda: _batched("auto", False, False),
-    "batched_pallas": lambda: _batched("pallas", False, False),
-    "batched_priccati": lambda: _batched("pallas", False, True),
-    "batched_bf16": lambda: _batched("auto", True, False),
+    # B-sweep (VERDICT r4 next #3): occupancy is the scale-out knob — the
+    # artifact answers where each kernel path's throughput saturates
+    "batched": lambda: _batched("auto", False, False,
+                                batches=(256, 1024, 4096)),
+    "batched_pallas": lambda: _batched("pallas", False, False,
+                                       batches=(256, 1024)),
+    "batched_priccati": lambda: _batched("pallas", False, True,
+                                         batches=(256,)),
+    "batched_bf16": lambda: _batched("auto", True, False,
+                                     batches=(256, 4096)),
     "rbd": _rbd,
     "fig8": lambda: _fig8("auto", False),
     "fig8_priccati": lambda: _fig8("pallas", True),

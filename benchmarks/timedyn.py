@@ -93,7 +93,7 @@ def _run(args):
 
         slug = label.replace(" ", "_")
         prog, _from_aot = aot.cached_program(
-            f"timedyn-{slug}-b{b}-k{k}", build, (x, u))
+            f"timedyn-{slug}-b{b}-k{k}", build, (x, u), src=__file__)
         r = prog(x, u)
         jax.block_until_ready(r)
         rr = rtt()

@@ -14,11 +14,14 @@ deserialization is milliseconds, and the re-compile underneath hits the
 persistent executable cache because the embedded module bytes are identical.
 
 SAFETY.  An AOT artifact silently pinned to stale code would be a correctness
-trap, so entries are keyed by (a) a source digest over parallel_ddp_tpu/ and
-benchmarks/ (any code change invalidates every entry), (b) jax version,
-(c) backend platform, and (d) the abstract signature (shape/dtype pytree) of
-the example arguments.  On any mismatch the caller transparently falls back
-to live tracing and the entry is re-exported.
+trap, so entries are keyed by (a) a source digest over parallel_ddp_tpu/
+(any package change invalidates every entry), (b) the digest of the CALLING
+module's source (passed as `src=__file__` by each benchmark, so editing one
+benchmark invalidates only its own programs instead of the whole cache — the
+r4/r5 full-re-warm cost), (c) jax version, (d) backend platform, and (e) the
+abstract signature (shape/dtype pytree) of the example arguments.  On any
+mismatch the caller transparently falls back to live tracing and the entry
+is re-exported.
 
 Use `PARALLEL_DDP_TPU_AOT=0` to disable, or `PARALLEL_DDP_TPU_AOT=<dir>` to
 relocate the cache (default ~/.cache/parallel_ddp_tpu/aot).
@@ -48,28 +51,42 @@ def _aot_dir() -> str | None:
 
 
 def _source_digest() -> str:
-    """Digest of every .py under parallel_ddp_tpu/ and benchmarks/ — the
-    conservative invalidation key (cheap: ~100 files, hashed once/process)."""
+    """Digest of every .py under parallel_ddp_tpu/ — the package-wide
+    invalidation key (cheap: ~50 files, hashed once/process).  Benchmark
+    modules are covered per-entry via the `src=` caller digest instead, so
+    editing one benchmark no longer invalidates every export."""
     global _SRC_DIGEST
     if _SRC_DIGEST is not None:
         return _SRC_DIGEST
     h = hashlib.sha256()
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo_root = os.path.dirname(pkg_root)
-    roots = [pkg_root, os.path.join(repo_root, "benchmarks")]
-    for root in roots:
-        if not os.path.isdir(root):
-            continue
-        for dirpath, _dirnames, filenames in sorted(os.walk(root)):
-            for fn in sorted(filenames):
-                if not fn.endswith(".py"):
-                    continue
-                p = os.path.join(dirpath, fn)
-                h.update(os.path.relpath(p, repo_root).encode())
-                with open(p, "rb") as f:
-                    h.update(f.read())
+    for dirpath, _dirnames, filenames in sorted(os.walk(pkg_root)):
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            h.update(os.path.relpath(p, repo_root).encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
     _SRC_DIGEST = h.hexdigest()[:24]
     return _SRC_DIGEST
+
+
+def _caller_digest(src) -> str:
+    """Digest of the calling module's source file(s) (the `src=` key)."""
+    if src is None:
+        return ""
+    paths = [src] if isinstance(src, str) else list(src)
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(os.path.basename(p).encode())
+        try:
+            with open(p, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(b"<unreadable>")
+    return h.hexdigest()[:16]
 
 
 def _register_serializations() -> None:
@@ -106,12 +123,13 @@ def _signature(example_args) -> str:
         (str(treedef) + "|" + "|".join(sig)).encode()).hexdigest()[:16]
 
 
-def _meta(name: str, example_args) -> dict:
+def _meta(name: str, example_args, src=None) -> dict:
     import jax
 
     return {
         "name": name,
         "src_digest": _source_digest(),
+        "caller_digest": _caller_digest(src),
         "jax_version": jax.__version__,
         "backend": jax.default_backend(),
         "signature": _signature(example_args),
@@ -126,10 +144,10 @@ def _paths(name: str) -> tuple[str, str] | None:
     return os.path.join(d, safe + ".jaxexp"), os.path.join(d, safe + ".json")
 
 
-def load(name: str, example_args):
+def load(name: str, example_args, src=None):
     """Return a jitted callable for a valid cached export of `name`, else
-    None.  Validity = source digest + jax version + backend + arg signature
-    all match (see module docstring)."""
+    None.  Validity = package digest + caller digest + jax version + backend
+    + arg signature all match (see module docstring)."""
     p = _paths(name)
     if p is None:
         return None
@@ -137,7 +155,7 @@ def load(name: str, example_args):
     try:
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta != _meta(name, example_args):
+        if meta != _meta(name, example_args, src):
             logger.info("aot: stale entry for %s (key mismatch)", name)
             return None
         with open(blob_path, "rb") as f:
@@ -156,7 +174,7 @@ def load(name: str, example_args):
         return None
 
 
-def save(name: str, jfn, example_args) -> bool:
+def save(name: str, jfn, example_args, src=None) -> bool:
     """Export jfn(*example_args) (pays one trace) and persist it under
     `name`.  Returns True on success; failures only log (an unexportable
     program — e.g. a custom call the exporter rejects — just stays on the
@@ -174,7 +192,8 @@ def save(name: str, jfn, example_args) -> bool:
         os.makedirs(os.path.dirname(blob_path), exist_ok=True)
         for path, data, mode in ((blob_path, bytes(blob), "wb"),
                                  (meta_path,
-                                  json.dumps(_meta(name, example_args)), "w")):
+                                  json.dumps(_meta(name, example_args, src)),
+                                  "w")):
             fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
             with os.fdopen(fd, mode) as f:
                 f.write(data)
@@ -185,23 +204,27 @@ def save(name: str, jfn, example_args) -> bool:
         return False
 
 
-def cached_program(name: str, build, example_args):
+def cached_program(name: str, build, example_args, src=None):
     """The one-call integration point for the benchmarks.
 
     `build()` must return a jax.jit'd callable.  Returns `(callable,
     from_aot)`: a deserialized export when a valid entry exists (skipping the
     per-process trace entirely), else the live callable after persisting its
     export for the next process.
+
+    `src`: path (or list of paths) of the calling module's source file(s),
+    folded into the entry's validity key so editing that module invalidates
+    only its own programs.  Pass `__file__`.
     """
-    fn = load(name, example_args)
+    fn = load(name, example_args, src)
     if fn is not None:
         logger.info("aot: loaded %s", name)
         return fn, True
     jfn = build()
-    if save(name, jfn, example_args):
+    if save(name, jfn, example_args, src):
         # return the freshly-saved export: jax.export already paid the trace,
         # so handing back `jfn` would trace a second time on its first call
-        fn = load(name, example_args)
+        fn = load(name, example_args, src)
         if fn is not None:
             return fn, False
     return jfn, False
