@@ -418,8 +418,7 @@ def main():
                   file=sys.stderr)
             skipped.append("convergence")
 
-    lat_requested = any(s.startswith("latency") for s in want_device)
-    if value is None and lat_requested:
+    if value is None:
         # No latency-family stage ran live (tunnel down/wedged).  Rather than
         # a null headline (rounds 2-3), fall back to the FRESHEST (newest utc)
         # cached on-chip measurement across the latency-family stages — never

@@ -166,11 +166,11 @@ def phase_breakdown(event_busy_ps: Counter, hlo_text: str, solves: int):
     buckets: Counter = Counter()
     unattributed = 0
     for name, ps in event_busy_ps.items():
-        key = name.lstrip("%")
+        # TPU op-line event metadata names are the full HLO instruction TEXT
+        # ("%fusion.12 = f32[...] fusion(...)"): the instruction name is the
+        # first token, minus the leading '%'
+        key = name.split(" ", 1)[0].lstrip("%")
         ph = smap.get(key)
-        if ph is None:
-            # trace names can carry a trailing ".N" dedup suffix or region
-            ph = smap.get(key.split("/")[0])
         if ph is None:
             unattributed += ps
             continue

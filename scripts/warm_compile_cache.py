@@ -18,11 +18,13 @@ BENCH stages time out, and always after the last code change of a round
 Each argument names a bench stage; default warms everything bench.py runs.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks import stage_cache  # noqa: E402
 from benchmarks.stages import CANONICAL, ORDER  # noqa: E402
 
 
@@ -33,9 +35,21 @@ def warm(stage: str):
     if fn is None:
         raise SystemExit(f"unknown stage {stage!r}; known: {ORDER}")
     t0 = time.perf_counter()
-    fn()
-    print(f"[warm] {stage}: ok in {time.perf_counter() - t0:.1f}s "
-          f"(backend={jax.default_backend()})", flush=True)
+    r = fn()
+    wall = time.perf_counter() - t0
+    backend = jax.default_backend()
+    print(f"[warm] {stage}: ok in {wall:.1f}s (backend={backend})",
+          flush=True)
+    # a warm run IS a full on-chip measurement of the exact stage code —
+    # record it so the stage cache's "freshest" entry is never older than
+    # the last warm pass (stage_cache.record refuses CPU backends itself)
+    if isinstance(r, dict) and "error" not in r:
+        r["_stage_wall_s"] = round(wall, 1)
+        try:
+            stage_cache.record(stage, r, backend)
+        except Exception as e:  # noqa: BLE001 — recording is best-effort
+            print(f"[warm] stage-cache record failed for {stage}: {e}",
+                  flush=True)
 
 
 if __name__ == "__main__":
