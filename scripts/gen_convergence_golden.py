@@ -1,0 +1,91 @@
+"""Archive golden convergence traces for the canonical WAFR Kuka solves.
+
+VERDICT r4 (weak #6 / next #5): `iters_to_1pct` is a self-referential canary —
+nothing anchored the solver's converged COST VALUES across rounds, so a
+semantic regression (wrong cost weights, broken defect handling, a changed
+line-search window) could slip through while the canary stayed green.  This
+tool runs the canonical WAFR Kuka EE configuration (N=64, 16 alphas, EE cost,
+the reference's benchmark problem — examples/WAFR_iLQR_examples.cu:140-227)
+at M=4 and M=1 from a FIXED seed set on the CPU backend and archives, per
+case: J0, converged J, iteration count, and the full J/alpha traces.
+
+tests/test_convergence_golden.py re-runs a case and asserts the solver still
+lands on the SAME converged cost and trace — catching semantic drift at
+commit time instead of bench time.
+
+Run: python scripts/gen_convergence_golden.py   (rewrites the golden file)
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT = os.path.join(REPO, "benchmarks", "artifacts", "convergence_golden.json")
+
+N_SEEDS = 3
+MAX_ITER = 80
+
+
+def cases():
+    """(name, m_blocks, seed) — the canonical set."""
+    for m in (4, 1):
+        for seed in range(N_SEEDS):
+            yield f"kuka_ee_n64_m{m}_seed{seed}", m, seed
+
+
+def run_case(m_blocks: int, seed: int):
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from parallel_ddp_tpu.presets import ee_goal, kuka_ee
+    from parallel_ddp_tpu.solver import make_ilqr_solver
+
+    prob = kuka_ee(m_blocks=m_blocks)
+    cfg = dataclasses.replace(prob.cfg, max_iter=MAX_ITER)
+    solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
+    n = cfg.num_time_steps
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.normal(0, 0.3, (n, 14)).astype(np.float32))
+    u0 = jnp.asarray(rng.normal(0, 1.0, (n, 7)).astype(np.float32))
+    goal = ee_goal([0.0, -0.55, 0.35])
+    out = solver(x0, u0, goal, initial_rollout=True)
+    iters = int(out.iters)
+    jt = np.asarray(out.J_trace)[: iters + 1]
+    at = np.asarray(out.alpha_trace)[:iters]
+    return {
+        "m_blocks": m_blocks,
+        "seed": seed,
+        "J0": float(jt[0]),
+        "J_final": float(out.J),
+        "iters": iters,
+        "J_trace": [round(float(v), 4) for v in jt],
+        "alpha_trace": [int(v) for v in at],
+    }
+
+
+def main():
+    assert jax.default_backend() == "cpu", "golden traces are CPU-anchored"
+    golden = {"backend": "cpu", "max_iter": MAX_ITER, "cases": {}}
+    for name, m, seed in cases():
+        r = run_case(m, seed)
+        golden["cases"][name] = r
+        print(f"{name}: J {r['J0']:.1f} -> {r['J_final']:.4f} "
+              f"in {r['iters']} iters", flush=True)
+    with open(OUT, "w") as f:
+        json.dump(golden, f, indent=1, sort_keys=True)
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,12 @@ def warm(stage: str):
     if fn is None:
         raise SystemExit(f"unknown stage {stage!r}; known: {ORDER}")
     t0 = time.perf_counter()
-    r = fn()
+    try:
+        r = fn()
+    except Exception as e:  # noqa: BLE001 — one stage must not kill the rest
+        print(f"[warm] {stage}: FAILED after "
+              f"{time.perf_counter() - t0:.1f}s: {e!r}"[:500], flush=True)
+        return
     wall = time.perf_counter() - t0
     backend = jax.default_backend()
     print(f"[warm] {stage}: ok in {wall:.1f}s (backend={backend})",
