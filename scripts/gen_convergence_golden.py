@@ -55,10 +55,15 @@ def run_case(m_blocks: int, seed: int):
     cfg = dataclasses.replace(prob.cfg, max_iter=MAX_ITER)
     solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
     n = cfg.num_time_steps
+    # canonical cold start (benchmarks/convergence.py cold_start_cases):
+    # home pose + seeded state noise, ZERO initial torques.  (Random torques
+    # put the initial rollout outside the line-search/defect acceptance
+    # basin and the solver legitimately rejects every step.)
     rng = np.random.default_rng(seed)
-    x0 = jnp.asarray(rng.normal(0, 0.3, (n, 14)).astype(np.float32))
-    u0 = jnp.asarray(rng.normal(0, 1.0, (n, 7)).astype(np.float32))
-    goal = ee_goal([0.0, -0.55, 0.35])
+    x_start = (rng.standard_normal(14) * 0.3).astype(np.float32)
+    x0 = jnp.broadcast_to(jnp.asarray(x_start), (n, 14))
+    u0 = jnp.zeros((n, 7), jnp.float32)
+    goal = ee_goal([0.3, -0.5, 0.4])
     out = solver(x0, u0, goal, initial_rollout=True)
     iters = int(out.iters)
     jt = np.asarray(out.J_trace)[: iters + 1]

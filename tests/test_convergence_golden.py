@@ -68,5 +68,7 @@ def test_golden_file_sane():
         # accepted-J trace is non-increasing (solver restores on reject)
         assert np.all(np.diff(jt) <= 1e-3 * np.maximum(jt[:-1], 1.0)), name
         assert c["J_final"] < c["J0"], name
-        assert all(0 <= a < 16 for a in c["alpha_trace"]), name
+        # -1 marks a rejected iteration (no alpha passed the z-window /
+        # defect tests) — legitimate; accepted entries index the 16 alphas
+        assert all(-1 <= a < 16 for a in c["alpha_trace"]), name
         assert 1 <= c["iters"] <= g["max_iter"], name
