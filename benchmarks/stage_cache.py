@@ -54,6 +54,10 @@ def record(stage: str, result: dict, backend: str) -> None:
     if backend == "cpu":
         return
     data = load_all()
+    # normalize through a JSON round-trip: stage results built in-process can
+    # carry int dict keys (e.g. scaling.py's per-B results), which the final
+    # sort_keys dump cannot order against str keys
+    result = json.loads(json.dumps(result))
     data[stage] = {
         "result": result,
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
