@@ -436,9 +436,22 @@ def main():
                 if v is not None:
                     cands.append((c.get("utc") or "", name, v, c))
         if cands:
-            newest = max(c[0] for c in cands)
-            # contemporaries: entries within the same bench run (~minutes)
-            same_run = [c for c in cands if c[0][:16] == newest[:16]]
+            import datetime
+
+            def _ts(s):
+                try:
+                    return datetime.datetime.strptime(
+                        s, "%Y-%m-%dT%H:%M:%SZ").timestamp()
+                except ValueError:
+                    return 0.0
+
+            newest = max(_ts(c[0]) for c in cands)
+            # contemporaries: entries within the same bench/warm pass.  One
+            # pass records the three latency stages a few minutes apart
+            # (trace + measure per stage), so minute-equality is too tight —
+            # it would select the newest stage alone (whichever happened to
+            # run last) instead of the fastest of the pass.
+            same_run = [c for c in cands if newest - _ts(c[0]) < 1200.0]
             _, name, v, c = max(same_run, key=lambda t: t[2])
             value = v
             extra["latency_headline_path"] = f"cached:{name}"

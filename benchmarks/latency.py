@@ -66,30 +66,50 @@ def latency_result(reps: int = REPS, core: str = "auto",
     out = solve(xs[0], us[0], goal)
     _ = float(out.J)
 
-    # tunnel round-trip time via a trivial kernel
+    # Synchronous timing with RTT subtraction only RESOLVES the solve when
+    # the subtraction clears the tunnel's own jitter; under a concurrently
+    # loaded tunnel med-rtt can go ~0 and the old clamp then recorded a
+    # nonsense 1e6 solves/s into the stage cache (r5, 14:41Z entries).
+    # Measure the RTT's spread, demand the residual clear 3x that spread,
+    # and retry (the jitter is transient) before reporting failure.
     triv = jax.jit(lambda z: z + 1.0)
     z = jnp.zeros((8, 128), jnp.float32)
     jax.block_until_ready(triv(z))
-    rtts = []
-    for _ in range(12):
-        t0 = time.perf_counter()
-        jax.block_until_ready(triv(z))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
 
-    times = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        out = solve(xs[i], us[i], goal)
-        jax.block_until_ready(out.J)
-        times.append(time.perf_counter() - t0)
+    def _attempt():
+        rtts = []
+        for _ in range(12):
+            t0 = time.perf_counter()
+            jax.block_until_ready(triv(z))
+            rtts.append(time.perf_counter() - t0)
+        rtt = float(np.median(rtts))
+        jitter = float(np.percentile(rtts, 90)) - rtt
+        times = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            out = solve(xs[i], us[i], goal)
+            jax.block_until_ready(out.J)
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        return med - rtt, rtt, jitter
 
-    med = float(np.median(times))
-    per_solve = max(med - rtt, 1e-6)
+    per_solve = rtt = jitter = None
+    for _try in range(3):
+        per_solve, rtt, jitter = _attempt()
+        if per_solve > max(3.0 * jitter, 50e-6):
+            break
+        time.sleep(5.0)  # let a transient tunnel-load spike pass
+    else:
+        return {"error": "unresolvable: solve time "
+                         f"({per_solve * 1e3:.3f} ms after rtt subtraction) "
+                         f"within tunnel RTT jitter ({jitter * 1e3:.3f} ms); "
+                         "tunnel loaded or wedged"}
+
     result = {
         "solves_per_s": round(1.0 / per_solve, 2),
         "per_solve_ms": round(per_solve * 1e3, 3),
         "rtt_ms": round(rtt * 1e3, 2),
+        "rtt_jitter_ms": round(jitter * 1e3, 2),
     }
     if pallas_riccati:
         # record whether the fused backward sweep actually engaged at this

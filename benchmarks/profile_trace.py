@@ -199,14 +199,23 @@ def profile_headline(solves: int = 8, iters: int = 6, core: str = "auto",
     x0 = jnp.zeros((n, 14), jnp.float32)
     u0 = jnp.zeros((n, 7), jnp.float32)
 
-    # warm up (compile) outside the trace
-    out = solver(x0, u0, goal, initial_rollout=True)
+    # Lower + compile ONCE and trace that exact executable.  Tracing via
+    # `solver(...)` uses the jit cache's own executable, whose fusion
+    # numbering can differ from a separately re-lowered compile — the HLO
+    # source-map join below then attributes nothing (r5 artifacts
+    # profile_trace_pallas_pr*_r5.json show exactly that failure mode:
+    # phase_busy_us_per_solve == {"unattributed": ...}).
+    low = solver.lower(x0, u0, goal, None, initial_rollout=True)
+    comp = low.compile()
+
+    # warm up outside the trace
+    out = comp(x0, u0, goal, None)
     jax.block_until_ready(out.J)
 
     tmp = tempfile.mkdtemp(prefix="pddp_trace_")
     jax.profiler.start_trace(tmp)
     for _ in range(solves):
-        out = solver(x0, u0, goal, initial_rollout=True)
+        out = comp(x0, u0, goal, None)
         jax.block_until_ready(out.J)
     jax.profiler.stop_trace()
 
@@ -263,8 +272,6 @@ def profile_headline(solves: int = 8, iters: int = 6, core: str = "auto",
     # the roofline's static floor for the same program, for the delta row
     from benchmarks.roofline import CHIPS, _kernel_count
 
-    low = solver.lower(x0, u0, goal, None, initial_rollout=True)
-    comp = low.compile()
     nk = _kernel_count(comp)
 
     # in-solve per-phase device time (VERDICT r4 next #7): attribute each
@@ -301,7 +308,15 @@ if __name__ == "__main__":
                     choices=["auto", "soa", "rbd", "pallas"])
     ap.add_argument("--priccati", action="store_true",
                     help="profile the fused Pallas block-Riccati path")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize pins "
+                         "jax_platforms explicitly, so JAX_PLATFORMS=cpu in "
+                         "the environment is ignored — see tests/conftest.py)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     res = profile_headline(solves=args.solves, iters=args.iters,
                            core=args.core, pallas_riccati=args.priccati)
     if args.out:

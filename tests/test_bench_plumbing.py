@@ -20,6 +20,8 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 
@@ -61,6 +63,7 @@ def test_bench_emits_json_under_tiny_budget():
         assert stage_cache.get(name) == entry
 
 
+@pytest.mark.slow
 def test_bench_worker_preflight_refuses_cpu():
     # Requesting a real stage on the CPU test backend: the device worker's
     # preflight must refuse (no CPU numbers in a TPU artifact), the retry

@@ -9,6 +9,7 @@ multiplier loop converges monotonically without recompiling the solver."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from parallel_ddp_tpu import ilqr_solve
 from parallel_ddp_tpu.constraints import ALConfig, BoxConstraints, solve_al
@@ -105,6 +106,7 @@ def test_constrained_mpc_closed_loop():
     assert float(jnp.abs(st.u).max()) <= 6.0 + 1e-2
 
 
+@pytest.mark.slow
 def test_kuka_torque_limited_ee_solve():
     """Flagship arm + hard torque bounds: the unconstrained EE reach peaks
     above 100 Nm; with |u| <= 40 Nm the AL drives violations to ~1e-3 while

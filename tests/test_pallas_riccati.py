@@ -115,7 +115,8 @@ def test_pallas_riccati_scenario_vmap_equivalence():
 
 @pytest.mark.parametrize("batch,m_blocks_b,n_steps", [
     (3, 4, 16),      # packed single tile: L = 12 lanes
-    (5, 256, 512),   # L = 1280 > 1024: two full-lane groups, last one padded
+    # L = 1280 > 1024: two full-lane groups, last one padded
+    pytest.param(5, 256, 512, marks=pytest.mark.slow),
 ])
 def test_riccati_lane_packed_vmap_matches_per_sample(batch, m_blocks_b,
                                                      n_steps):

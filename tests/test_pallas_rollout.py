@@ -39,7 +39,11 @@ def _xla_rollout(step_fn, N, M, x_swept, u, K, du, xp, alphas):
     return jax.vmap(sim_all)(alphas, x_swept)
 
 
-@pytest.mark.parametrize("integrator", [1, 2, 3])
+@pytest.mark.parametrize("integrator", [
+    1,
+    pytest.param(2, marks=pytest.mark.slow),
+    pytest.param(3, marks=pytest.mark.slow),
+])
 def test_fused_rollout_matches_xla(integrator):
     from parallel_ddp_tpu.models.kuka import kuka, kuka_params
 
@@ -86,6 +90,7 @@ def test_fused_rollout_shape_guards():
     assert MAX_NB >= 16
 
 
+@pytest.mark.slow
 def test_fused_rollout_chunk_skip_mask():
     """Chunk-local traced skip mask (the 'sp' horizon-sharded use,
     parallel/sp.py): a chunk that does NOT contain the horizon's final step
@@ -165,7 +170,10 @@ def test_fused_rollout_chunk_skip_mask():
                                rtol=1e-6)
 
 
-@pytest.mark.parametrize("batch", [3, 200])
+@pytest.mark.parametrize("batch", [
+    3,
+    pytest.param(200, marks=pytest.mark.slow),
+])
 def test_fused_rollout_scenario_vmap_packed(batch):
     """jax.vmap over scenarios routes through the kernel's custom_vmap rule
     (ops/pallas_rollout.py packed_core): scenarios are packed into the lane

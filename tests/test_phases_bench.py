@@ -8,9 +8,12 @@ checks program construction and result structure, not speed.
 
 from __future__ import annotations
 
+import pytest
+
 from benchmarks.phases import REFERENCE_PHASE_MS, phases_result
 
 
+@pytest.mark.slow
 def test_phases_report_structure():
     r = phases_result(core="auto", pallas_riccati=False, k_chain=2, reps=2,
                       num_time_steps=16, m_blocks=2, num_alpha=4)

@@ -171,6 +171,7 @@ def test_default_and_close_weight_sets():
     assert c.q_xdee == d.q_xdee == 10.0
 
 
+@pytest.mark.slow
 def test_pick_place_device_loop_smoke():
     """Fused on-device pick-and-place (controller + plant + waypoint state
     machine in one scan) builds and advances waypoints on a tiny Kuka config."""

@@ -143,6 +143,7 @@ def test_batched_sp_2d_mesh_matches_single_device():
         np.testing.assert_allclose(out.x[i], ref.x, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sp_matches_single_device_kuka_production_shape():
     """Flagship production shape (the reference's default, config.cuh:43-58):
     Kuka EE N=64 / M=4 / A=16 sharded over sp=4 must match the single-device

@@ -383,6 +383,7 @@ def test_prismatic_energy_and_id_fd():
         assert abs(energy(xx) - e0) / max(e0, 1e-9) < 1e-8
 
 
+@pytest.mark.slow
 def test_urdf_problem_preset_ee():
     """urdf_problem wires the arm + EE cost (URDF limits) into a Problem that
     reaches an EE goal (gravity=0: the reference's MPC-mode convention)."""
@@ -401,6 +402,7 @@ def test_urdf_problem_preset_ee():
     assert float(out.max_defect) < 0.1
 
 
+@pytest.mark.slow
 def test_urdf_plant_solves():
     """The loaded arm runs end-to-end through the block-parallel iLQR stack."""
     from parallel_ddp_tpu.config import SolverConfig
