@@ -44,9 +44,13 @@ The invariants now:
 
 MEASUREMENT INTEGRITY (see stage code): each stage forces one result read
 (flips the process into synchronous dispatch where timings mean true remote
-completion), measures the tunnel RTT with a trivial kernel, and subtracts it;
-the batched stage additionally chains K solves inside one program so the RTT
-amortizes over K*B solves.
+completion), measures the tunnel RTT with a trivial kernel, and subtracts it.
+Both the latency and batched stages chain K data-dependent solves inside ONE
+program so the RTT (and its jitter) amortizes over K (resp. K*B) solves —
+timing a single ~1.6 ms solve behind a ~25 ms tunnel RTT is jitter-dominated
+(r4's 0.544 ms "headline" was that protocol's luck; the chained protocol,
+r5, is reproducible).  A residual-vs-jitter guard refuses to record when the
+tunnel is too loaded to resolve the chain (benchmarks/latency.py).
 """
 
 import json
@@ -88,9 +92,11 @@ _T0 = time.monotonic()
 # timedyn,fig8}.py naming).  Used ONLY to order warm stages before cold ones;
 # a drifted name just loses the ordering hint, never skips a stage.
 _AOT_HINT = {
-    "latency": lambda n: n.startswith("latency-auto-pr0"),
-    "latency_pallas": lambda n: n.startswith("latency-pallas-pr0"),
-    "latency_priccati": lambda n: n.startswith("latency-pallas-pr1"),
+    "latency": lambda n: n.startswith("latency-chain") and "-auto-pr0" in n,
+    "latency_pallas": (
+        lambda n: n.startswith("latency-chain") and "-pallas-pr0" in n),
+    "latency_priccati": (
+        lambda n: n.startswith("latency-chain") and "-pallas-pr1" in n),
     "batched": lambda n: n.startswith("batched-auto-") and "-bf0-pr0" in n,
     "batched_pallas": (
         lambda n: n.startswith("batched-pallas-") and "-bf0-pr0" in n),
@@ -447,11 +453,12 @@ def main():
 
             newest = max(_ts(c[0]) for c in cands)
             # contemporaries: entries within the same bench/warm pass.  One
-            # pass records the three latency stages a few minutes apart
-            # (trace + measure per stage), so minute-equality is too tight —
-            # it would select the newest stage alone (whichever happened to
-            # run last) instead of the fastest of the pass.
-            same_run = [c for c in cands if newest - _ts(c[0]) < 1200.0]
+            # pass records the three latency stages minutes apart — up to
+            # ~20 min when a variant's executable compiles cold — so
+            # minute-equality is too tight: it would select the newest stage
+            # alone (whichever happened to run last) instead of the fastest
+            # of the pass.
+            same_run = [c for c in cands if newest - _ts(c[0]) < 3600.0]
             _, name, v, c = max(same_run, key=lambda t: t[2])
             value = v
             extra["latency_headline_path"] = f"cached:{name}"
@@ -481,7 +488,7 @@ def main():
                 "metric": "kuka_n64_mpc_solves_per_s",
                 "value": round(value, 2) if value is not None else None,
                 "unit": "solves/s (6-iter warm EE solve, N=64, M=4, 16 alphas; "
-                        "RTT-corrected sync timing)",
+                        "64-chained serial solves, RTT-amortized)",
                 "vs_baseline": (round(value / BASELINE_SOLVES_PER_S, 3)
                                 if value is not None else None),
                 "extra": extra,

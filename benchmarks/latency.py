@@ -1,9 +1,20 @@
 """Single-solve latency benchmark — the round-1 headline metric.
 
 Warm-started Kuka N=64 EE solve (6 fixed iLQR iterations, the reference's
-10 ms MPC budget analog) timed synchronously with the tunnel RTT subtracted
-(see bench.py docstring).  Baseline: median 10.29 ms/solve ≈ 97 Hz
+10 ms MPC budget analog).  Baseline: median 10.29 ms/solve ~= 97 Hz
 (test/WAFR_fig8.py:7).
+
+TIMING PROTOCOL.  The dev TPU sits behind a tunnel whose round-trip time
+(~25 ms, spiking under load) is ~50x the solve itself, so timing ONE solve
+synchronously and subtracting the RTT is jitter-dominated: r4/r5 runs of that
+protocol recorded anywhere from 0.54 ms to an unresolvable med-rtt ~ 0.  The
+measurement therefore chains K data-DEPENDENT solves inside one program
+(each solve's x0 is perturbed by the previous solve's cost, forcing serial
+device execution, same trick as benchmarks/scaling.py) and reports
+(wall - rtt) / K: the device time K*solve >> RTT jitter, so one round-trip's
+noise is amortized K ways.  A residual-vs-jitter guard still refuses to
+report when even the chained wall cannot clear the tunnel's jitter (wedged
+tunnel), so a nonsense number can never reach the stage cache.
 
 Run: python benchmarks/latency.py
 """
@@ -18,21 +29,22 @@ import numpy as np
 sys.path.insert(0, ".")
 
 N_ITERS_PER_SOLVE = 6
-REPS = 20
+K_CHAIN = 64
+REPS = 10
 
 
 def latency_result(reps: int = REPS, core: str = "auto",
-                   pallas_riccati: bool = False):
+                   pallas_riccati: bool = False, k_chain: int = K_CHAIN):
     """core='pallas' routes the derivative stage AND the forward sim through
     the fused Pallas kernels (ops/pallas_rbd.py, ops/pallas_rollout.py);
     pallas_riccati=True additionally fuses the whole backward sweep into one
     kernel per rho attempt (ops/pallas_riccati.py, the backPassKern twin)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from parallel_ddp_tpu.presets import ee_goal, kuka_ee
     from parallel_ddp_tpu.solver import make_ilqr_solver
-
     from parallel_ddp_tpu.utils import aot
 
     prob = kuka_ee(core=core)
@@ -45,33 +57,36 @@ def latency_result(reps: int = REPS, core: str = "auto",
     n = cfg.num_time_steps
     goal = ee_goal([0.0, -0.55, 0.35])
 
-    xs = [jnp.asarray(rng.normal(0, 0.3, (n, 14)).astype(np.float32))
-          for _ in range(reps)]
-    us = [jnp.asarray(rng.normal(0, 1.0, (n, 7)).astype(np.float32))
-          for _ in range(reps)]
+    x0 = jnp.asarray(rng.normal(0, 0.3, (n, 14)).astype(np.float32))
+    u0 = jnp.asarray(rng.normal(0, 1.0, (n, 7)).astype(np.float32))
 
     # AOT cache: tracing this program is minutes of single-core Python per
     # process (utils/aot.py docstring); a valid export skips it entirely
     def build():
         solver = make_ilqr_solver(prob.plant, prob.cost, cfg)
-        return jax.jit(
-            lambda x0, u0, g: solver(x0, u0, g, initial_rollout=True))
 
-    solve, _from_aot = aot.cached_program(
-        f"latency-{core}-pr{int(pallas_riccati)}", build, (xs[0], us[0], goal),
-        src=__file__)
+        @jax.jit
+        def prog(x0, u0, g):
+            def body(c, _):
+                out = solver(c, u0, g, initial_rollout=True)
+                # feed the cost back into the next x0: a real data dependency
+                # (serial execution) at a numerically invisible perturbation
+                return c + out.J * 1e-9, out.J
+
+            _, js = lax.scan(body, x0, jnp.arange(k_chain, dtype=jnp.float32))
+            return js
+
+        return prog
+
+    prog, _from_aot = aot.cached_program(
+        f"latency-chain{k_chain}-{core}-pr{int(pallas_riccati)}", build,
+        (x0, u0, goal), src=__file__)
 
     # compile + switch the process into synchronous (honest) dispatch mode by
-    # reading one result
-    out = solve(xs[0], us[0], goal)
-    _ = float(out.J)
+    # reading one real result
+    js = np.asarray(prog(x0, u0, goal))
+    assert js.shape == (k_chain,) and np.all(np.isfinite(js)), js
 
-    # Synchronous timing with RTT subtraction only RESOLVES the solve when
-    # the subtraction clears the tunnel's own jitter; under a concurrently
-    # loaded tunnel med-rtt can go ~0 and the old clamp then recorded a
-    # nonsense 1e6 solves/s into the stage cache (r5, 14:41Z entries).
-    # Measure the RTT's spread, demand the residual clear 3x that spread,
-    # and retry (the jitter is transient) before reporting failure.
     triv = jax.jit(lambda z: z + 1.0)
     z = jnp.zeros((8, 128), jnp.float32)
     jax.block_until_ready(triv(z))
@@ -85,31 +100,33 @@ def latency_result(reps: int = REPS, core: str = "auto",
         rtt = float(np.median(rtts))
         jitter = float(np.percentile(rtts, 90)) - rtt
         times = []
-        for i in range(reps):
+        for _ in range(reps):
             t0 = time.perf_counter()
-            out = solve(xs[i], us[i], goal)
-            jax.block_until_ready(out.J)
+            _ = np.asarray(prog(x0, u0, goal))
             times.append(time.perf_counter() - t0)
         med = float(np.median(times))
         return med - rtt, rtt, jitter
 
-    per_solve = rtt = jitter = None
+    chain_wall = rtt = jitter = None
     for _try in range(3):
-        per_solve, rtt, jitter = _attempt()
-        if per_solve > max(3.0 * jitter, 50e-6):
+        chain_wall, rtt, jitter = _attempt()
+        # the K-chained device time must clear the tunnel's own jitter
+        if chain_wall > max(3.0 * jitter, 50e-6):
             break
         time.sleep(5.0)  # let a transient tunnel-load spike pass
     else:
-        return {"error": "unresolvable: solve time "
-                         f"({per_solve * 1e3:.3f} ms after rtt subtraction) "
+        return {"error": "unresolvable: chained device time "
+                         f"({chain_wall * 1e3:.3f} ms after rtt subtraction) "
                          f"within tunnel RTT jitter ({jitter * 1e3:.3f} ms); "
                          "tunnel loaded or wedged"}
 
+    per_solve = chain_wall / k_chain
     result = {
         "solves_per_s": round(1.0 / per_solve, 2),
         "per_solve_ms": round(per_solve * 1e3, 3),
         "rtt_ms": round(rtt * 1e3, 2),
         "rtt_jitter_ms": round(jitter * 1e3, 2),
+        "k_chain": k_chain,
     }
     if pallas_riccati:
         # record whether the fused backward sweep actually engaged at this
