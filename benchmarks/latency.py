@@ -33,6 +33,13 @@ K_CHAIN = 64
 REPS = 10
 
 
+def resolvable(chain_wall_s: float, rtt_jitter_s: float) -> bool:
+    """Can a chained-wall measurement be trusted?  The RTT-subtracted device
+    time must clear 3x the tunnel's own jitter (and an absolute floor) or the
+    number is tunnel noise, not a solve time (tests/test_bench_plumbing.py)."""
+    return chain_wall_s > max(3.0 * rtt_jitter_s, 50e-6)
+
+
 def latency_result(reps: int = REPS, core: str = "auto",
                    pallas_riccati: bool = False, k_chain: int = K_CHAIN):
     """core='pallas' routes the derivative stage AND the forward sim through
@@ -111,7 +118,7 @@ def latency_result(reps: int = REPS, core: str = "auto",
     for _try in range(3):
         chain_wall, rtt, jitter = _attempt()
         # the K-chained device time must clear the tunnel's own jitter
-        if chain_wall > max(3.0 * jitter, 50e-6):
+        if resolvable(chain_wall, jitter):
             break
         time.sleep(5.0)  # let a transient tunnel-load spike pass
     else:

@@ -120,3 +120,15 @@ def test_fused_riccati_active_probe():
     # URDF plant: per-step channel slabs exceed the 13 MiB single-instance
     # budget, ops/pallas_riccati.py _build)
     assert fused_riccati_active(cfg, 20, 9) is False
+
+
+def test_latency_guard_refuses_jitter_dominated_walls():
+    # the chained-latency protocol must refuse to turn tunnel noise into a
+    # solves/s number (r5: a loaded tunnel once recorded 1e6 solves/s)
+    from benchmarks.latency import resolvable
+
+    assert resolvable(0.1, 0.001)          # 100 ms chain, 1 ms jitter: fine
+    assert not resolvable(0.002, 0.001)    # within 3x jitter: refuse
+    assert not resolvable(-0.003, 0.001)   # RTT swallowed the chain: refuse
+    assert not resolvable(40e-6, 1e-6)     # below the absolute floor: refuse
+    assert resolvable(60e-6, 1e-6)
