@@ -140,22 +140,58 @@ _PHASE_OF_FILE = (
 )
 
 
-def _hlo_source_map(hlo_text: str) -> dict:
-    """Optimized-HLO instruction name -> phase bucket, via the op metadata's
-    source_file (present on every instruction jax traces)."""
-    import re
+def _phase_of(src: str) -> str:
+    for frag, ph in _PHASE_OF_FILE:
+        if frag in src:
+            return ph
+    return "other"
 
-    pat = re.compile(
-        r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s.*?"
-        r"source_file=\"([^\"]+)\"", re.M)
-    out = {}
-    for name, src in pat.findall(hlo_text):
-        phase = "other"
-        for frag, ph in _PHASE_OF_FILE:
-            if frag in src:
-                phase = ph
-                break
-        out[name] = phase
+
+def _hlo_source_map(hlo_text: str) -> dict:
+    """Optimized-HLO instruction name -> phase bucket.
+
+    Two attribution levels: an instruction with its own source_file metadata
+    maps directly; a fusion/call WITHOUT one (the compiler drops metadata on
+    many fusion roots — ~half the device busy time in the r5 traces) inherits
+    the majority phase of the computation it `calls=`, whose member
+    instructions usually kept their metadata."""
+    import re
+    from collections import Counter, defaultdict
+
+    instr = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s")
+    header = re.compile(r"^\s*(?:ENTRY\s+)?%?([\w.\-]+)\s+\([^)]*\)\s*->")
+    src_re = re.compile(r"source_file=\"([^\"]+)\"")
+    calls_re = re.compile(r"calls=%?([\w.\-]+)")
+
+    direct = {}          # instr name -> phase (own metadata)
+    calls = {}           # instr name -> called computation name
+    members = defaultdict(Counter)   # computation name -> member phase votes
+    comp = None
+    for line in hlo_text.splitlines():
+        h = header.match(line)
+        if h and line.rstrip().endswith("{"):
+            comp = h.group(1)
+            continue
+        m = instr.match(line)
+        if not m:
+            continue
+        name = m.group(1)
+        s = src_re.search(line)
+        if s:
+            ph = _phase_of(s.group(1))
+            direct[name] = ph
+            if comp is not None:
+                members[comp][ph] += 1
+        else:
+            c = calls_re.search(line)
+            if c:
+                calls[name] = c.group(1)
+
+    out = dict(direct)
+    for name, comp_name in calls.items():
+        votes = members.get(comp_name)
+        if name not in out and votes:
+            out[name] = votes.most_common(1)[0][0]
     return out
 
 
@@ -165,18 +201,33 @@ def phase_breakdown(event_busy_ps: Counter, hlo_text: str, solves: int):
     smap = _hlo_source_map(hlo_text)
     buckets: Counter = Counter()
     unattributed = 0
+    un_top: Counter = Counter()
     for name, ps in event_busy_ps.items():
         # TPU op-line event metadata names are the full HLO instruction TEXT
         # ("%fusion.12 = f32[...] fusion(...)"): the instruction name is the
         # first token, minus the leading '%'
         key = name.split(" ", 1)[0].lstrip("%")
+        if key.startswith("jit_"):
+            # whole-program module event (e.g. "jit_solve(...)"): the SUM of
+            # everything else on the plane, not a component — excluding it is
+            # what makes the buckets add up to ~one solve's busy time
+            continue
+        if key.startswith(("copy-start", "copy-done", "copy.")) or key == "copy":
+            # async HBM copies (while-loop buffer movement) — a real phase of
+            # their own, invisible in any source_file
+            buckets["copies"] += ps
+            continue
         ph = smap.get(key)
         if ph is None:
             unattributed += ps
+            un_top[key] += ps
             continue
         buckets[ph] += ps
     out = {ph: round(ps / 1e6 / solves, 1) for ph, ps in buckets.items()}
     out["unattributed"] = round(unattributed / 1e6 / solves, 1)
+    # diagnostics: where the unattributed time actually sits
+    out["unattributed_top"] = [
+        [k, round(ps / 1e6 / solves, 1)] for k, ps in un_top.most_common(6)]
     return out
 
 
