@@ -253,9 +253,8 @@ def profile_headline(solves: int = 8, iters: int = 6, core: str = "auto",
     # Lower + compile ONCE and trace that exact executable.  Tracing via
     # `solver(...)` uses the jit cache's own executable, whose fusion
     # numbering can differ from a separately re-lowered compile — the HLO
-    # source-map join below then attributes nothing (r5 artifacts
-    # profile_trace_pallas_pr*_r5.json show exactly that failure mode:
-    # phase_busy_us_per_solve == {"unattributed": ...}).
+    # source-map join below then attributes nothing (early-r5 artifacts hit
+    # exactly that: phase_busy_us_per_solve == {"unattributed": ...}).
     low = solver.lower(x0, u0, goal, None, initial_rollout=True)
     comp = low.compile()
 
